@@ -1,0 +1,117 @@
+"""Sparse-convolution rulebooks (kernel maps) as dense static-shape tables.
+
+The reference builds a packed variable-length rulebook per (stride, kernel)
+pair — `nbmaps`/`nbsizes` lists of active (input, output) pairs per kernel
+offset (torchsparse `nn/functional/conv.py:156-176`).  That layout is
+dynamic-shape and scatter-heavy.  On TPU we instead store, for every kernel
+offset k and every output voxel v, the index of the contributing input voxel
+(or -1): a dense (K, V_out) int32 table.  The sparse conv then becomes K
+gathers feeding one batched MXU matmul — fully static, no atomics.
+
+Transposed convolutions reuse the forward table of the corresponding
+downsampling conv with roles swapped (reference `conv.py:184-192`); here
+that is a single scatter (`invert_rulebook`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .coords import GridBounds
+from .join import query_coords, unique_coords
+
+
+def make_ntuple(x, ndim: int = 3) -> tuple:
+    if isinstance(x, (list, tuple)):
+        assert len(x) == ndim
+        return tuple(x)
+    return (x,) * ndim
+
+
+def kernel_offsets(kernel_size, stride=1, dilation=1) -> np.ndarray:
+    """(K, 3) int32 offsets; ordering matches torchsparse
+    `nn/utils/kernel.py:11-32` (x-fastest for odd kernel volumes, z-fastest
+    for even) so checkpoints are layout-compatible with the reference."""
+    size = make_ntuple(kernel_size)
+    stride = make_ntuple(stride)
+    dilation = make_ntuple(dilation)
+    per_axis = [
+        np.arange(-size[k] // 2 + 1, size[k] // 2 + 1) * stride[k] * dilation[k]
+        for k in range(3)
+    ]
+    if np.prod(size) % 2 == 1:
+        offs = [[x, y, z] for z in per_axis[2] for y in per_axis[1] for x in per_axis[0]]
+    else:
+        offs = [[x, y, z] for x in per_axis[0] for y in per_axis[1] for z in per_axis[2]]
+    return np.asarray(offs, dtype=np.int32)
+
+
+def spdownsample(
+    coords: jnp.ndarray,
+    num: jnp.ndarray,
+    stride,
+    tensor_stride,
+    bounds: GridBounds,
+    capacity: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Downsampled (strided) output coordinates, deduplicated.
+
+    Mirrors torchsparse `nn/functional/downsample.py:25-28` fast path
+    (stride == kernel_size): truncate-toward-zero division of the xyz coords
+    by (stride * tensor_stride), then unique.  Returns key-sorted coords
+    padded to `capacity` plus the unique count.
+    """
+    stride = make_ntuple(stride)
+    tensor_stride = make_ntuple(tensor_stride)
+    ss = jnp.asarray(
+        [stride[k] * tensor_stride[k] for k in range(3)], jnp.int32
+    )
+    xyz = coords[:, :3]
+    # trunc division (toward zero), matching torch.div(...).trunc()
+    down = jnp.sign(xyz) * (jnp.abs(xyz) // ss) * ss
+    new_coords = jnp.concatenate([down, coords[:, 3:4]], axis=1)
+    valid = jnp.arange(coords.shape[0], dtype=jnp.int32) < num
+    out_coords, num_out, _, _ = unique_coords(new_coords, valid, bounds, capacity)
+    return out_coords, num_out
+
+
+def build_rulebook(
+    out_coords: jnp.ndarray,
+    num_out: jnp.ndarray,
+    in_coords: jnp.ndarray,
+    num_in: jnp.ndarray,
+    offsets: np.ndarray,
+    bounds: GridBounds,
+) -> jnp.ndarray:
+    """Dense rulebook: idx[k, v] = input voxel index at out_coords[v] +
+    offsets[k], or -1.  Replaces the reference's hash-query + nonzero
+    compaction (`conv.py:164-176`)."""
+    k = offsets.shape[0]
+    vo = out_coords.shape[0]
+    q_xyz = out_coords[None, :, :3] + jnp.asarray(offsets)[:, None, :]
+    q = jnp.concatenate(
+        [q_xyz, jnp.broadcast_to(out_coords[None, :, 3:4], (k, vo, 1))], axis=-1
+    )
+    q_valid = jnp.broadcast_to(
+        (jnp.arange(vo, dtype=jnp.int32) < num_out)[None, :], (k, vo)
+    )
+    return query_coords(q, q_valid, in_coords, num_in, bounds)
+
+
+def invert_rulebook(rb: jnp.ndarray, v_fine: int) -> jnp.ndarray:
+    """Invert a downsampling rulebook for the matching transposed conv.
+
+    Forward table: rb[k, c] = fine-input index feeding coarse-output c at
+    offset k.  Transposed table: t[k, f] = coarse-input index feeding
+    fine-output f at offset k.  For fixed k the forward map is injective, so
+    one scatter suffices (the TPU analogue of reference `conv.py:184-192`
+    swapping nbmaps roles)."""
+    k, v_coarse = rb.shape
+    coarse_ids = jnp.broadcast_to(
+        jnp.arange(v_coarse, dtype=jnp.int32)[None, :], (k, v_coarse)
+    )
+    target = jnp.where(rb >= 0, rb, v_fine)  # dump misses past the end
+    out = jnp.full((k, v_fine + 1), -1, jnp.int32)
+    out = out.at[jnp.arange(k)[:, None], target].set(coarse_ids, mode="drop")
+    return out[:, :v_fine]

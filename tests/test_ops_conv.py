@@ -1,0 +1,256 @@
+"""Golden tests for rulebooks, sparse conv, voxelize/devoxelize.
+
+The numpy oracle reproduces the reference semantics exactly:
+  * conv: out[o] += in[i] @ W[k] for every pair with
+    in_coords[i] == out_coords[o] + offsets[k]
+    (torchsparse nn/functional/conv.py:69-79, the device-free fallback);
+  * transposed conv: roles swapped (conv.py:73-78 with transposed=True);
+  * voxelize: per-voxel feature mean (backend/voxelize/voxelize_cuda.cu);
+  * devoxelize: 8-corner trilinear with -1 masking + renormalization
+    (nn/functional/devoxelize.py:10-48).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from taseg_tpu.ops import (
+    build_rulebook,
+    compute_bounds,
+    devoxelize,
+    invert_rulebook,
+    kernel_offsets,
+    sparse_conv_apply,
+    spdownsample,
+    trilinear_table,
+    unique_coords,
+    voxelize_avg,
+)
+
+
+def unique_np(coords):
+    return np.unique(coords, axis=0)
+
+
+def conv_oracle(in_coords, in_feats, out_coords, w, offsets, transposed=False):
+    k = w.shape[0]
+    lut = {tuple(c): i for i, c in enumerate(in_coords)}
+    if not transposed:
+        out = np.zeros((len(out_coords), w.shape[2]), np.float64)
+        for kk in range(k):
+            for o, oc in enumerate(out_coords):
+                key = (
+                    oc[0] + offsets[kk, 0],
+                    oc[1] + offsets[kk, 1],
+                    oc[2] + offsets[kk, 2],
+                    oc[3],
+                )
+                i = lut.get(key)
+                if i is not None:
+                    out[o] += in_feats[i] @ w[kk]
+        return out
+    # transposed: forward pairs were built querying *coarse* out coords
+    # against *fine* in coords; now coarse plays input, fine plays output.
+    # pair (fine f, coarse c, k): fine[f] == coarse[c] + d_k
+    fine_coords, coarse_coords = out_coords, in_coords
+    out = np.zeros((len(fine_coords), w.shape[2]), np.float64)
+    lut_c = {tuple(c): i for i, c in enumerate(coarse_coords)}
+    for kk in range(k):
+        for f, fc in enumerate(fine_coords):
+            key = (
+                fc[0] - offsets[kk, 0],
+                fc[1] - offsets[kk, 1],
+                fc[2] - offsets[kk, 2],
+                fc[3],
+            )
+            c = lut_c.get(key)
+            if c is not None:
+                out[f] += in_feats[c] @ w[kk]
+    return out
+
+
+def make_grid(rng, n=200, span=12, batches=2, cap=256, cin=8):
+    coords = np.concatenate(
+        [
+            rng.integers(0, span, size=(n, 3)),
+            rng.integers(0, batches, size=(n, 1)),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    coords = unique_np(coords)
+    feats = rng.normal(size=(len(coords), cin)).astype(np.float32)
+    valid = np.ones(len(coords), bool)
+    bounds = compute_bounds(jnp.asarray(coords), jnp.asarray(valid))
+    ucoords, num, inverse, _ = unique_coords(
+        jnp.asarray(coords), jnp.asarray(valid), bounds, cap
+    )
+    # re-order feats to the device's key-sorted layout
+    inv = np.asarray(inverse)
+    feats_sorted = np.zeros((cap, cin), np.float32)
+    feats_sorted[inv] = feats
+    return coords, feats, ucoords, num, feats_sorted, bounds
+
+
+@pytest.mark.parametrize("ks,center_identity", [(3, False), (3, True), (1, False)])
+def test_sparse_conv_stride1_matches_oracle(ks, center_identity):
+    rng = np.random.default_rng(3)
+    cin, cout, cap = 8, 16, 256
+    coords, feats, ucoords, num, feats_sorted, bounds = make_grid(rng, cin=cin)
+    offs = kernel_offsets(ks, stride=1)
+    w = rng.normal(size=(len(offs), cin, cout)).astype(np.float32) * 0.1
+
+    rb = build_rulebook(ucoords, num, ucoords, num, offs, bounds)
+    out = np.asarray(
+        sparse_conv_apply(
+            jnp.asarray(feats_sorted),
+            jnp.asarray(w),
+            rb,
+            center_identity=center_identity,
+        )
+    )
+
+    un = np.asarray(ucoords)[: int(num)]
+    ref = conv_oracle(un, feats_sorted[: int(num)], un, w, offs)
+    np.testing.assert_allclose(out[: int(num)], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_downsample_conv_and_transposed_match_oracle():
+    rng = np.random.default_rng(4)
+    cin, cout, cap, cap2 = 8, 16, 256, 256
+    coords, feats, ucoords, num, feats_sorted, bounds = make_grid(rng, cin=cin)
+
+    # stride-2 downsample (ks=2, tensor_stride=1), as in MinkUNet stage convs
+    dcoords, dnum = spdownsample(ucoords, num, 2, 1, bounds, cap2)
+    offs = kernel_offsets(2, stride=1)
+    w = rng.normal(size=(len(offs), cin, cout)).astype(np.float32) * 0.1
+    rb = build_rulebook(dcoords, dnum, ucoords, num, offs, bounds)
+    out = np.asarray(
+        sparse_conv_apply(jnp.asarray(feats_sorted), jnp.asarray(w), rb)
+    )
+
+    un = np.asarray(ucoords)[: int(num)]
+    dn = np.asarray(dcoords)[: int(dnum)]
+    # oracle downsample: trunc-div by 2 then unique
+    ref_down = unique_np(
+        np.concatenate(
+            [np.trunc(un[:, :3] / 2).astype(np.int32) * 2, un[:, 3:]], axis=1
+        )
+    )
+    assert {tuple(r) for r in dn} == {tuple(r) for r in ref_down}
+
+    ref = conv_oracle(un, feats_sorted[: int(num)], dn, w, offs)
+    np.testing.assert_allclose(out[: int(dnum)], ref, rtol=1e-4, atol=1e-4)
+
+    # transposed conv back up, reusing the inverted rulebook
+    coarse_feats = rng.normal(size=(cap2, cout)).astype(np.float32)
+    coarse_feats[int(dnum):] = 0
+    wt = rng.normal(size=(len(offs), cout, cin)).astype(np.float32) * 0.1
+    rb_t = invert_rulebook(rb, ucoords.shape[0])
+    up = np.asarray(
+        sparse_conv_apply(jnp.asarray(coarse_feats), jnp.asarray(wt), rb_t)
+    )
+    ref_up = conv_oracle(
+        dn, coarse_feats[: int(dnum)], un, wt, offs, transposed=True
+    )
+    np.testing.assert_allclose(up[: int(num)], ref_up, rtol=1e-4, atol=1e-4)
+
+
+def test_voxelize_avg_matches_mean():
+    rng = np.random.default_rng(5)
+    p, cap, c = 300, 128, 6
+    inverse = rng.integers(-1, 40, size=p).astype(np.int32)
+    feats = rng.normal(size=(p, c)).astype(np.float32)
+    out = np.asarray(voxelize_avg(jnp.asarray(feats), jnp.asarray(inverse), cap))
+    for v in range(40):
+        rows = feats[inverse == v]
+        if len(rows):
+            np.testing.assert_allclose(out[v], rows.mean(0), rtol=1e-5, atol=1e-5)
+        else:
+            np.testing.assert_allclose(out[v], 0.0)
+
+
+def test_trilinear_devoxelize_matches_oracle():
+    rng = np.random.default_rng(6)
+    cap, c, p, stride = 256, 5, 100, 2
+    coords, feats, ucoords, num, feats_sorted, bounds = make_grid(
+        rng, n=150, span=8, cin=c
+    )
+    # voxel coords at stride 2 (multiples of 2)
+    vc = np.asarray(ucoords)[: int(num)]
+    vc2 = unique_np(
+        np.concatenate([(vc[:, :3] // 2) * 2, vc[:, 3:]], axis=1)
+    )
+    valid = np.ones(len(vc2), bool)
+    uc2, num2, inv2, _ = unique_coords(
+        jnp.asarray(vc2), jnp.asarray(valid), bounds, cap
+    )
+    vfeats = np.zeros((cap, c), np.float32)
+    vfeats[: ] = 0
+    vfeats[np.asarray(inv2)] = rng.normal(size=(len(vc2), c)).astype(np.float32)
+
+    pts = np.concatenate(
+        [
+            rng.uniform(0, 8, size=(p, 3)),
+            rng.integers(0, 2, size=(p, 1)).astype(np.float64),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    pvalid = np.ones(p, bool)
+    idx, w = trilinear_table(
+        jnp.asarray(pts), jnp.asarray(pvalid), uc2, num2, stride, bounds
+    )
+    out = np.asarray(devoxelize(jnp.asarray(vfeats), idx, w))
+
+    # numpy oracle (calc_ti_weights semantics)
+    lut = {tuple(cc): i for i, cc in enumerate(np.asarray(uc2)[: int(num2)])}
+    s = float(stride)
+    ref = np.zeros((p, c), np.float64)
+    for i in range(p):
+        x = pts[i, :3].astype(np.float64)
+        b = int(pts[i, 3])
+        pf = np.floor(x / s) * s
+        ws, idxs = [], []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    corner = pf + np.array([dx, dy, dz]) * s
+                    key = (int(corner[0]), int(corner[1]), int(corner[2]), b)
+                    j = lut.get(key, -1)
+                    d = np.array([dx, dy, dz], np.float64)
+                    frac = (x - pf) / s
+                    wgt = np.prod(np.where(d > 0, frac, 1 - frac))
+                    if j < 0:
+                        wgt = 0.0
+                    ws.append(wgt)
+                    idxs.append(j)
+        ws = np.array(ws)
+        ws = ws / (ws.sum() + 1e-8)
+        for j, wgt in zip(idxs, ws):
+            if j >= 0:
+                ref[i] += wgt * vfeats[j]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_gradients_flow():
+    rng = np.random.default_rng(7)
+    cin, cout = 4, 8
+    coords, feats, ucoords, num, feats_sorted, bounds = make_grid(
+        rng, n=80, span=6, cin=cin
+    )
+    offs = kernel_offsets(3, stride=1)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+    rb = build_rulebook(ucoords, num, ucoords, num, offs, bounds)
+
+    def loss(w, f):
+        return jnp.sum(sparse_conv_apply(f, w, rb) ** 2)
+
+    g_w, g_f = jax.grad(loss, argnums=(0, 1))(w, jnp.asarray(feats_sorted))
+    # numerical check on a few weight entries
+    eps = 1e-3
+    for (kk, i, o) in [(13, 0, 0), (0, 1, 2), (26, 3, 7)]:
+        wp = w.at[kk, i, o].add(eps)
+        wm = w.at[kk, i, o].add(-eps)
+        num_grad = (loss(wp, jnp.asarray(feats_sorted)) -
+                    loss(wm, jnp.asarray(feats_sorted))) / (2 * eps)
+        np.testing.assert_allclose(g_w[kk, i, o], num_grad, rtol=2e-2, atol=1e-2)

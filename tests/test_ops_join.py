@@ -1,0 +1,132 @@
+"""Golden tests for coordinate keys, unique, and sort-based joins.
+
+Oracle semantics come from the reference CPU kernels (torchsparse
+`backend/hash/hash_cpu.cpp`, `backend/hashmap/hashmap_cpu.cpp`) re-derived
+in pure numpy: exact coordinate matching, -1 for misses.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from taseg_tpu.ops import (
+    compute_bounds,
+    pack_keys,
+    query_coords,
+    unique_coords,
+)
+
+
+def random_coords(rng, n, lo=-50, hi=50, batches=3):
+    xyz = rng.integers(lo, hi, size=(n, 3))
+    b = rng.integers(0, batches, size=(n, 1))
+    return np.concatenate([xyz, b], axis=1).astype(np.int32)
+
+
+def test_pack_keys_bijective_in_bounds():
+    rng = np.random.default_rng(0)
+    coords = random_coords(rng, 500)
+    valid = np.ones(500, bool)
+    bounds = compute_bounds(jnp.asarray(coords), jnp.asarray(valid))
+    hi, lo = pack_keys(jnp.asarray(coords), bounds, jnp.asarray(valid))
+    keys = np.stack([np.asarray(hi), np.asarray(lo)], axis=1)
+    uniq_rows = np.unique(coords, axis=0)
+    uniq_keys = np.unique(keys, axis=0)
+    assert len(uniq_rows) == len(uniq_keys)
+
+
+def test_unique_coords_matches_numpy():
+    rng = np.random.default_rng(1)
+    n, cap = 400, 512
+    coords = random_coords(rng, n, lo=-10, hi=10)
+    valid = rng.random(n) > 0.1
+    bounds = compute_bounds(jnp.asarray(coords), jnp.asarray(valid))
+    ucoords, num, inverse, counts = unique_coords(
+        jnp.asarray(coords), jnp.asarray(valid), bounds, cap
+    )
+    ucoords, num, inverse, counts = map(np.asarray, (ucoords, num, inverse, counts))
+
+    ref_unique, ref_counts = np.unique(
+        coords[valid], axis=0, return_counts=True
+    )
+    assert num == len(ref_unique)
+    got = ucoords[:num]
+    # same set of coords (order may differ)
+    assert {tuple(r) for r in got} == {tuple(r) for r in ref_unique}
+    # counts per coord agree
+    ref_map = {tuple(r): c for r, c in zip(ref_unique, ref_counts)}
+    for row, c in zip(got, counts[:num]):
+        assert ref_map[tuple(row)] == c
+    # inverse correctness: every valid point maps to its own coord
+    for i in range(n):
+        if valid[i]:
+            assert (ucoords[inverse[i]] == coords[i]).all()
+        else:
+            assert inverse[i] == -1
+    # valid rows are packed first & key-sorted (strictly increasing keys)
+    hi, lo = pack_keys(jnp.asarray(ucoords), bounds,
+                       jnp.arange(cap) < num)
+    hi, lo = np.asarray(hi), np.asarray(lo)
+    key = hi[:num].astype(np.int64) * 2**31 + lo[:num]
+    assert (np.diff(key) > 0).all()
+
+
+def test_unique_coords_overflow_reports_true_count():
+    rng = np.random.default_rng(2)
+    coords = random_coords(rng, 300, lo=-40, hi=40)
+    valid = np.ones(300, bool)
+    bounds = compute_bounds(jnp.asarray(coords), jnp.asarray(valid))
+    cap = 16  # far below the true unique count
+    _, num, inverse, _ = unique_coords(
+        jnp.asarray(coords), jnp.asarray(valid), bounds, cap
+    )
+    true_unique = len(np.unique(coords, axis=0))
+    assert int(num) == true_unique
+    assert (np.asarray(inverse) < cap).all()
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_query_coords_exact_and_missing(seed):
+    rng = np.random.default_rng(seed)
+    n, cap = 300, 512
+    coords = random_coords(rng, n, lo=-20, hi=20)
+    valid = np.ones(n, bool)
+    bounds = compute_bounds(jnp.asarray(coords), jnp.asarray(valid))
+    ucoords, num, _, _ = unique_coords(
+        jnp.asarray(coords), jnp.asarray(valid), bounds, cap
+    )
+
+    # queries: half existing coords, half guaranteed-missing, some invalid
+    q_exist = coords[rng.integers(0, n, 100)]
+    q_miss = random_coords(rng, 100, lo=200, hi=260)  # in-bounds? no: OOB
+    q_near_miss = coords[rng.integers(0, n, 50)].copy()
+    q_near_miss[:, 2] += 1000  # inside margin? no — far outside
+    q = np.concatenate([q_exist, q_miss, q_near_miss])
+    q_valid = np.ones(len(q), bool)
+    q_valid[-10:] = False
+
+    idx = np.asarray(
+        query_coords(jnp.asarray(q), jnp.asarray(q_valid), ucoords, num, bounds)
+    )
+    un = np.asarray(ucoords)
+    coord_set = {tuple(r) for r in np.asarray(un)[: int(num)]}
+    for i in range(len(q)):
+        if not q_valid[i] or tuple(q[i]) not in coord_set:
+            assert idx[i] == -1
+        else:
+            assert idx[i] >= 0 and (un[idx[i]] == q[i]).all()
+
+
+def test_query_respects_num_refs():
+    # padding rows past num must never match, even for a (0,0,0,0) query
+    coords = np.array([[5, 5, 5, 0], [6, 6, 6, 0]], np.int32)
+    valid = np.ones(2, bool)
+    bounds = compute_bounds(jnp.asarray(coords), jnp.asarray(valid))
+    ucoords, num, _, _ = unique_coords(
+        jnp.asarray(coords), jnp.asarray(valid), bounds, 8
+    )
+    q = np.array([[0, 0, 0, 0]], np.int32)  # equals the zero padding rows
+    idx = query_coords(
+        jnp.asarray(q), jnp.asarray(np.ones(1, bool)), ucoords, num, bounds
+    )
+    assert int(idx[0]) == -1
