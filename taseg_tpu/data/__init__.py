@@ -1,0 +1,158 @@
+"""Data layer: modality x dataset dispatch + a threaded, prefetching loader.
+
+Replaces the reference dataloader factory (`pcseg/data/__init__.py:61-182`,
+torch DataLoader + DistributedSampler) with a host-side generator that
+emits `parallel.Batch` pytrees shaped (R shards, P points, ...) — each
+shard is one device's collated super-sample, so the SPMD train step needs
+no cross-device gathers.  Prefetching runs on a background thread
+(double-buffered) to overlap host voxelization with device compute, the
+role of `num_workers`/`persistent_workers` in the reference.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .semantickitti.reader import SemanticKittiReader
+from .synthetic import SyntheticKittiReader
+from .voxel_dataset import VoxelPipeline, collate_batch
+
+
+def build_reader(data_cfgs, training: bool):
+    dataset = data_cfgs.get("DATASET", "synthetic")
+    if dataset == "semantickitti":
+        return SemanticKittiReader(
+            data_cfgs["DATA_PATH"],
+            split="train" if training else "val",
+            augment=data_cfgs.get("AUGMENT", "GlobalAugment"),
+            samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
+        )
+    if dataset == "synthetic":
+        return SyntheticKittiReader(
+            length=data_cfgs.get("LENGTH", 64),
+            n_points=data_cfgs.get("N_RAW_POINTS", 120_000),
+            seed=0 if training else 1,
+        )
+    raise NotImplementedError(f"dataset {dataset!r}")
+
+
+class VoxelLoader:
+    """Iterates (arrays dict for parallel.Batch, per-shard metadata)."""
+
+    def __init__(
+        self,
+        reader,
+        pipeline: VoxelPipeline,
+        *,
+        n_shards: int,
+        scans_per_shard: int,
+        point_capacity: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.reader = reader
+        self.pipeline = pipeline
+        self.n_shards = n_shards
+        self.scans_per_shard = scans_per_shard
+        self.point_capacity = point_capacity
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+        self.epoch = 0
+
+    @property
+    def scans_per_batch(self) -> int:
+        return self.n_shards * self.scans_per_shard
+
+    def __len__(self) -> int:
+        n = len(self.reader) // self.scans_per_batch
+        if not self.drop_last and len(self.reader) % self.scans_per_batch:
+            n += 1
+        return n
+
+    def _epoch_order(self):
+        order = np.arange(len(self.reader))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        return order
+
+    def _make_batch(self, idxs):
+        samples = [self.pipeline(self.reader[int(i)]) for i in idxs]
+        # pad the final partial batch by repeating samples
+        while len(samples) < self.scans_per_batch:
+            samples.append(samples[len(samples) % len(idxs)])
+        shards = [
+            samples[r * self.scans_per_shard : (r + 1) * self.scans_per_shard]
+            for r in range(self.n_shards)
+        ]
+        return collate_batch(shards, self.point_capacity)
+
+    def __iter__(self) -> Iterator:
+        order = self._epoch_order()
+        spb = self.scans_per_batch
+        steps = len(self)
+        work = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for s in range(steps):
+                    work.put(self._make_batch(order[s * spb : (s + 1) * spb]))
+            except Exception as e:  # surface worker errors to the consumer
+                work.put(e)
+            finally:
+                work.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = work.get()
+            if item is sentinel:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+        self.epoch += 1
+        if hasattr(self.reader, "resample"):
+            self.reader.resample()
+
+
+def build_dataloader(
+    data_cfgs,
+    *,
+    training: bool,
+    n_shards: int,
+    scans_per_shard: int,
+    point_capacity: Optional[int] = None,
+) -> VoxelLoader:
+    """MODALITY x DATASET dispatch (voxel modality; range/fusion join as
+    their model families land)."""
+    reader = build_reader(data_cfgs, training)
+    pipeline = VoxelPipeline(
+        voxel_size=data_cfgs.get("VOXEL_SIZE", 0.05),
+        training=training,
+        if_flip=data_cfgs.get("FLIP_AUG", True),
+        if_scale=data_cfgs.get("SCALE_AUG", True),
+        scale_range=tuple(data_cfgs.get("SCALE_AUG_RANGE", (0.9, 1.1))),
+        if_jitter=data_cfgs.get("TRANSFORM_AUG", True),
+        if_rotate=data_cfgs.get("ROTATE_AUG", True),
+    )
+    cap = point_capacity or int(
+        data_cfgs.get("NUM_POINTS", 80_000) * scans_per_shard
+    )
+    return VoxelLoader(
+        reader,
+        pipeline,
+        n_shards=n_shards,
+        scans_per_shard=scans_per_shard,
+        point_capacity=cap,
+        shuffle=training,
+        drop_last=training,
+    )

@@ -1,0 +1,179 @@
+"""Loss combinator — masked static-shape re-designs of `pcseg/loss/*`.
+
+The reference filters ignored points by boolean indexing (dynamic shapes);
+every loss here instead takes an explicit validity mask so the whole loss
+stack jits with static shapes.  `Losses` mirrors the reference combinator
+API (`pcseg/loss/__init__.py:15-137`): a list of loss-type names + weights
+summed together, ignore_index semantics included in the mask.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lovasz import lovasz_softmax
+
+__all__ = ["Losses", "cross_entropy", "lovasz_softmax", "wce_weights"]
+
+
+def _log_softmax(logits: jnp.ndarray) -> jnp.ndarray:
+    x = logits.astype(jnp.float32)
+    x = x - jnp.max(x, axis=-1, keepdims=True)
+    return x - jnp.log(jnp.sum(jnp.exp(x), axis=-1, keepdims=True))
+
+
+def cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    label_smoothing: float = 0.0,
+    class_weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Masked CE with torch semantics: mean over valid points, optional
+    per-class weights (weighted mean uses the sum of sample weights as the
+    denominator, as torch CrossEntropyLoss does)."""
+    n, c = logits.shape
+    lp = _log_softmax(logits)
+    labels_c = jnp.clip(labels, 0, c - 1)
+    nll = -jnp.take_along_axis(lp, labels_c[:, None], axis=1)[:, 0]
+    if label_smoothing > 0.0:
+        smooth = -jnp.mean(lp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    w = valid.astype(jnp.float32)
+    if class_weight is not None:
+        w = w * class_weight[labels_c]
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def focal_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    gamma: float = 0.5,
+) -> jnp.ndarray:
+    """Focal loss, reference `pcseg/loss/focalloss.py:6-45` (gamma 0.5,
+    sum/valid-count normalization)."""
+    c = logits.shape[-1]
+    lp = _log_softmax(logits)
+    labels_c = jnp.clip(labels, 0, c - 1)
+    logpt = jnp.take_along_axis(lp, labels_c[:, None], axis=1)[:, 0]
+    # pt is detached in the reference (Variable(logpt.data.exp()))
+    pt = jnp.exp(jax.lax.stop_gradient(logpt))
+    loss = -((1.0 - pt) ** gamma) * logpt
+    m = valid.astype(jnp.float32)
+    return jnp.sum(loss * m) / (jnp.sum(m) + 1e-5)
+
+
+def dice_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    ignore_index: int = 0,
+    smooth: float = 1.0,
+    exponent: float = 2.0,
+) -> jnp.ndarray:
+    """Per-class binary dice over softmax probs, averaged over classes
+    (reference `pcseg/loss/dice_loss_v0.py`), masked instead of filtered."""
+    c = logits.shape[-1]
+    probs = jnp.exp(_log_softmax(logits))
+    m = valid.astype(jnp.float32)[:, None]
+    onehot = (
+        jnp.arange(c)[None, :] == jnp.clip(labels, 0, c - 1)[:, None]
+    ).astype(jnp.float32) * m
+    p = probs * m
+    num = 2.0 * jnp.sum(p * onehot, axis=0) + smooth
+    den = jnp.sum(p**exponent + onehot**exponent, axis=0) + smooth
+    per_class = 1.0 - num / den
+    keep = jnp.ones((c,), bool).at[ignore_index].set(False)
+    return jnp.sum(jnp.where(keep, per_class, 0.0)) / c
+
+
+def wce_weights(
+    cls_num_pts: Sequence[float], ignore_index: int = 0, normalize: bool = True
+) -> np.ndarray:
+    """1/sqrt(freq) class weights with the reference's double normalization
+    (`pcseg/loss/wce_loss.py:16-26`)."""
+    n = np.asarray(cls_num_pts, np.float64)
+    f = n / n.sum()
+    w = 1.0 / np.sqrt(np.maximum(f, 1e-12))
+    w[ignore_index] = 0.0
+    if normalize:
+        w = w / w.sum() * len(n)
+    w = w / ((w * n).sum() / n.sum())
+    return w.astype(np.float32)
+
+
+class Losses:
+    """Weighted sum of named losses over masked per-point logits.
+
+    Call signature: losses(logits (N, C), labels (N,), point_valid (N,)).
+    Points with label == ignore_index or point_valid == False contribute
+    nothing (matching torch ignore_index + our padding semantics).
+    """
+
+    def __init__(
+        self,
+        loss_types: Sequence[str],
+        loss_weights: Sequence[float],
+        *,
+        ignore_index: int = 0,
+        label_smoothing: float = 0.0,
+        cls_num_pts: Optional[Sequence[float]] = None,
+        class_weight=None,
+        knn: int = 10,
+    ):
+        assert len(loss_types) == len(loss_weights)
+        self.loss_types = list(loss_types)
+        self.loss_weights = list(loss_weights)
+        self.ignore_index = ignore_index
+        self.label_smoothing = label_smoothing
+        self.class_weight = (
+            jnp.asarray(class_weight) if class_weight is not None else None
+        )
+        self.wce_w = (
+            jnp.asarray(wce_weights(cls_num_pts, ignore_index))
+            if cls_num_pts is not None
+            else None
+        )
+        unknown = set(self.loss_types) - {
+            "CELoss", "LovLoss", "WCELoss", "FocalLoss", "DiceLossV0",
+        }
+        if unknown:
+            raise NotImplementedError(f"loss types not yet built: {unknown}")
+
+    def __call__(
+        self, logits: jnp.ndarray, labels: jnp.ndarray, point_valid: jnp.ndarray
+    ) -> jnp.ndarray:
+        valid = point_valid & (labels != self.ignore_index)
+        total = jnp.float32(0.0)
+        for name, w in zip(self.loss_types, self.loss_weights):
+            if name == "CELoss":
+                l = cross_entropy(
+                    logits, labels, valid,
+                    label_smoothing=self.label_smoothing,
+                    class_weight=self.class_weight,
+                )
+            elif name == "WCELoss":
+                assert self.wce_w is not None, "WCELoss needs cls_num_pts"
+                l = cross_entropy(
+                    logits, labels, valid,
+                    label_smoothing=self.label_smoothing,
+                    class_weight=self.wce_w,
+                )
+            elif name == "LovLoss":
+                l = lovasz_softmax(logits, labels, valid)
+            elif name == "FocalLoss":
+                l = focal_loss(logits, labels, valid)
+            elif name == "DiceLossV0":
+                l = dice_loss(logits, labels, valid, ignore_index=self.ignore_index)
+            else:  # pragma: no cover — guarded in __init__
+                raise KeyError(name)
+            total = total + w * l
+        return total

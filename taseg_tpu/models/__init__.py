@@ -1,0 +1,37 @@
+"""Segmentor registry (reference `pcseg/model/segmentor/__init__.py:29-62`,
+minus the eval()-based construction — here it's an explicit dict)."""
+
+from .voxel import MinkUNet, UNetCapacities, UNetTopology, build_unet_topology
+
+SEGMENTORS = {
+    "MinkUNet": MinkUNet,
+}
+
+
+def build_segmentor(model_cfgs, num_class: int):
+    """Construct a segmentor flax module from a MODEL config block
+    (schema mirrors reference `tools/cfgs/**` MODEL sections)."""
+    name = model_cfgs["NAME"]
+    if name not in SEGMENTORS:
+        raise KeyError(f"unknown segmentor {name!r}; have {sorted(SEGMENTORS)}")
+    cls = SEGMENTORS[name]
+    return cls(
+        num_classes=num_class,
+        in_dim=model_cfgs.get("IN_FEATURE_DIM", 4),
+        planes=tuple(model_cfgs.get("PLANES", (32, 32, 64, 128, 256, 256, 128, 96, 96))),
+        num_layer=tuple(model_cfgs.get("NUM_LAYER", (2, 3, 4, 6, 2, 2, 2, 2))),
+        block=model_cfgs.get("BLOCK", "Bottleneck"),
+        cr=model_cfgs.get("cr", 1.0),
+        dropout_p=model_cfgs.get("DROPOUT_P", 0.3),
+        axis_name="data" if model_cfgs.get("IF_DIST", False) else None,
+    )
+
+
+__all__ = [
+    "MinkUNet",
+    "SEGMENTORS",
+    "UNetCapacities",
+    "UNetTopology",
+    "build_segmentor",
+    "build_unet_topology",
+]

@@ -1,0 +1,231 @@
+"""Sparse neural-net building blocks (flax).
+
+Functional equivalents of `torchsparse.nn.modules` (conv.py:16-72, norm.py,
+activation) and the block zoo in the reference MinkUNet
+(`pcseg/model/segmentor/voxel/minkunet/minkunet.py:31-183`), re-designed for
+static shapes: every module operates on a (V, C) feature matrix plus a
+validity mask / rulebook, never on a dynamically sized tensor.
+
+Cross-replica ("sync") batch norm is a `lax.psum` of masked statistics over
+the data-parallel mesh axis — the TPU-native replacement for
+`nn.SyncBatchNorm` (reference minkunet.py:23-25).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import sparse_conv_apply
+
+
+def _conv_init(kernel_volume: int, fan: int):
+    """Uniform(-std, std) with std = 1/sqrt(fan * K), matching torchsparse
+    `nn/modules/conv.py:57-61` so checkpoints are exchangeable."""
+    std = 1.0 / (fan * kernel_volume) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -std, std)
+
+    return init
+
+
+class SparseConv(nn.Module):
+    """Sparse conv over a dense rulebook; weight layout (K, C_in, C_out)."""
+
+    out_channels: int
+    kernel_volume: int  # K = prod(kernel_size); 1 => plain matmul
+    transposed: bool = False
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,
+        rulebook: Optional[jnp.ndarray] = None,
+        *,
+        center_identity: bool = False,
+    ) -> jnp.ndarray:
+        c_in = feats.shape[-1]
+        fan = self.out_channels if self.transposed else c_in
+        if self.kernel_volume == 1:
+            w = self.param(
+                "kernel", _conv_init(1, fan), (c_in, self.out_channels)
+            )
+            out = feats @ w
+        else:
+            w = self.param(
+                "kernel",
+                _conv_init(self.kernel_volume, fan),
+                (self.kernel_volume, c_in, self.out_channels),
+            )
+            assert rulebook is not None
+            out = sparse_conv_apply(
+                feats, w, rulebook, center_identity=center_identity
+            )
+        if self.use_bias:
+            b = self.param(
+                "bias", _conv_init(self.kernel_volume, fan), (self.out_channels,)
+            )
+            out = out + b
+        return out
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over valid rows only, with optional cross-replica stats.
+
+    Padding rows must not pollute statistics, so mean/var are computed with
+    a row mask.  When `axis_name` is set, counts and sums are psum-ed over
+    the mesh axis — semantics of torch SyncBatchNorm without any NCCL.
+    Running stats follow torch conventions (biased var for normalization,
+    unbiased for the running average; torch momentum 0.1 == here 0.1).
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: jnp.ndarray, train: bool
+    ) -> jnp.ndarray:
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            m = mask.astype(jnp.float32)[:, None]
+            xf = x.astype(jnp.float32)
+            cnt = jnp.sum(m)
+            s = jnp.sum(xf * m, axis=0)
+            ss = jnp.sum(xf * xf * m, axis=0)
+            if self.axis_name is not None:
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                s = jax.lax.psum(s, self.axis_name)
+                ss = jax.lax.psum(ss, self.axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = s / cnt
+            var = jnp.maximum(ss / cnt - mean * mean, 0.0)
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = (
+                    (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
+            var.astype(x.dtype) + jnp.asarray(self.epsilon, x.dtype)
+        )
+        y = y * scale.astype(x.dtype) + bias.astype(x.dtype)
+        return jnp.where(mask[:, None], y, 0.0)
+
+
+class ConvBNReLU(nn.Module):
+    """spnn.Conv3d → BatchNorm → ReLU (reference BasicConvolutionBlock /
+    BasicDeconvolutionBlock, minkunet.py:31-80)."""
+
+    out_channels: int
+    kernel_volume: int
+    transposed: bool = False
+    axis_name: Optional[str] = None
+    bn_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats, rulebook, mask, train: bool, center_identity=False):
+        h = SparseConv(
+            self.out_channels, self.kernel_volume, transposed=self.transposed
+        )(feats, rulebook, center_identity=center_identity)
+        h = MaskedBatchNorm(
+            momentum=self.bn_momentum, axis_name=self.axis_name
+        )(h, mask, train)
+        return nn.relu(h)
+
+
+class ResidualBlock(nn.Module):
+    """Two 3x3x3 sparse convs + BN with identity/projected shortcut
+    (reference minkunet.py:83-129). Stride is always 1 in MinkUNet blocks,
+    so the shortcut projection is a plain 1x1x1 matmul."""
+
+    out_channels: int
+    kernel_volume: int = 27
+    axis_name: Optional[str] = None
+    bn_momentum: float = 0.1
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, feats, rulebook, mask, train: bool):
+        c_in = feats.shape[-1]
+        h = SparseConv(self.out_channels, self.kernel_volume)(
+            feats, rulebook, center_identity=True
+        )
+        h = MaskedBatchNorm(momentum=self.bn_momentum, axis_name=self.axis_name)(
+            h, mask, train
+        )
+        h = nn.relu(h)
+        h = SparseConv(self.out_channels, self.kernel_volume)(
+            h, rulebook, center_identity=True
+        )
+        h = MaskedBatchNorm(momentum=self.bn_momentum, axis_name=self.axis_name)(
+            h, mask, train
+        )
+        if c_in == self.out_channels:
+            short = feats
+        else:
+            short = SparseConv(self.out_channels, 1)(feats)
+            short = MaskedBatchNorm(
+                momentum=self.bn_momentum, axis_name=self.axis_name
+            )(short, mask, train)
+        return nn.relu(h + short)
+
+
+class Bottleneck(nn.Module):
+    """1-3-1 bottleneck with expansion 4 (reference minkunet.py:132-183)."""
+
+    out_channels: int
+    kernel_volume: int = 27
+    axis_name: Optional[str] = None
+    bn_momentum: float = 0.1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, feats, rulebook, mask, train: bool):
+        c_in = feats.shape[-1]
+        c_exp = self.out_channels * self.expansion
+        h = SparseConv(self.out_channels, 1)(feats)
+        h = MaskedBatchNorm(momentum=self.bn_momentum, axis_name=self.axis_name)(
+            h, mask, train
+        )
+        h = SparseConv(self.out_channels, self.kernel_volume)(
+            h, rulebook, center_identity=True
+        )
+        h = MaskedBatchNorm(momentum=self.bn_momentum, axis_name=self.axis_name)(
+            h, mask, train
+        )
+        h = SparseConv(c_exp, 1)(h)
+        h = MaskedBatchNorm(momentum=self.bn_momentum, axis_name=self.axis_name)(
+            h, mask, train
+        )
+        if c_in == c_exp:
+            short = feats
+        else:
+            short = SparseConv(c_exp, 1)(feats)
+            short = MaskedBatchNorm(
+                momentum=self.bn_momentum, axis_name=self.axis_name
+            )(short, mask, train)
+        return nn.relu(h + short)
+
+
+BLOCKS = {"ResBlock": ResidualBlock, "Bottleneck": Bottleneck}

@@ -1,0 +1,150 @@
+"""Per-step topology precomputation for sparse UNet backbones.
+
+The reference threads mutable `cmaps`/`kmaps` caches through SparseTensors
+(torchsparse `tensor.py:34-35`, `nn/functional/conv.py:144-176`), building
+hash maps lazily inside the forward.  On TPU we split topology from
+features: every integer structure — unique voxel sets per stride level,
+dense rulebooks for ks-3 / ks-2 / transposed convs, and point↔voxel
+interpolation tables — is built ONCE per step by `build_unet_topology` from
+the input coordinates alone.  The differentiable forward then touches only
+gathers and matmuls, which keeps the backward pass integer-free and makes
+rematerialization trivial.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+from flax import struct
+
+from ...ops import (
+    GridBounds,
+    build_rulebook,
+    compute_bounds,
+    invert_rulebook,
+    kernel_offsets,
+    spdownsample,
+    trilinear_table,
+    unique_coords,
+)
+
+
+@dataclass(frozen=True)
+class UNetCapacities:
+    """Static row capacities. `points` bounds the padded input point count;
+    `voxels[l]` bounds the unique voxel count at stride 2**l.  Derived from
+    dataset statistics (SURVEY.md §7 'Design stance'); overflow is detected
+    host-side via the returned counts."""
+
+    points: int
+    voxels: tuple[int, ...]
+
+    @staticmethod
+    def for_points(points: int, num_levels: int = 5) -> "UNetCapacities":
+        # LiDAR voxel occupancy decays ~3x per stride-2 level; use 2x for
+        # safety margin, floor at 512 to keep tiny levels MXU-friendly.
+        voxels = tuple(
+            max(512, points >> l) for l in range(num_levels)
+        )
+        return UNetCapacities(points=points, voxels=voxels)
+
+
+@struct.dataclass
+class LevelTopo:
+    coords: jnp.ndarray  # (V_l, 4) int32, key-sorted valid-first
+    num: jnp.ndarray  # () int32
+    rb_k3: jnp.ndarray  # (27, V_l) same-level 3^3 rulebook
+    rb_down: jnp.ndarray | None  # (8, V_l) from level l-1 (ks2 stride2)
+    rb_up: jnp.ndarray | None  # (8, V_{l-1}) transposed table back to l-1
+
+
+@struct.dataclass
+class UNetTopology:
+    levels: tuple  # tuple[LevelTopo, ...] — strides 1, 2, 4, ..., 2^(L-1)
+    point_inverse: jnp.ndarray  # (P,) point -> level-0 voxel id (-1 invalid)
+    point_counts: jnp.ndarray  # (V_0,) points per level-0 voxel
+    devox: dict  # stride (int) -> (idx (8, P), weights (8, P))
+    bounds: GridBounds
+    num_points: jnp.ndarray  # () int32
+
+
+def build_unet_topology(
+    point_coords: jnp.ndarray,
+    num_points: jnp.ndarray,
+    caps: UNetCapacities,
+    *,
+    num_levels: int = 5,
+    devox_strides: tuple[int, ...] = (1, 4, 16),
+) -> UNetTopology:
+    """Build the full MinkUNet topology from float point coords (P, 4).
+
+    Mirrors the lazily-built structures of the reference forward
+    (initial_voxelize at minkunet/utils.py:11-36; per-stride kmap builds at
+    conv.py:156-176; voxel_to_point tables at utils.py:69-105) as one
+    explicit pass.
+    """
+    p = point_coords.shape[0]
+    valid = jnp.arange(p, dtype=jnp.int32) < num_points
+    vox0 = jnp.concatenate(
+        [
+            jnp.floor(point_coords[:, :3]).astype(jnp.int32),
+            point_coords[:, 3:4].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    bounds = compute_bounds(vox0, valid, margin=64)
+
+    coords0, num0, inverse, counts = unique_coords(
+        vox0, valid, bounds, caps.voxels[0]
+    )
+
+    levels = []
+    rb_k3 = build_rulebook(
+        coords0, num0, coords0, num0, kernel_offsets(3, stride=1), bounds
+    )
+    levels.append(
+        LevelTopo(coords=coords0, num=num0, rb_k3=rb_k3, rb_down=None, rb_up=None)
+    )
+
+    prev_coords, prev_num = coords0, num0
+    for l in range(1, num_levels):
+        s_prev = 2 ** (l - 1)
+        s = 2**l
+        coords_l, num_l = spdownsample(
+            prev_coords, prev_num, 2, s_prev, bounds, caps.voxels[l]
+        )
+        offs_down = kernel_offsets(2, stride=s_prev)
+        rb_down = build_rulebook(
+            coords_l, num_l, prev_coords, prev_num, offs_down, bounds
+        )
+        rb_up = invert_rulebook(rb_down, prev_coords.shape[0])
+        rb_k3 = build_rulebook(
+            coords_l, num_l, coords_l, num_l, kernel_offsets(3, stride=s), bounds
+        )
+        levels.append(
+            LevelTopo(
+                coords=coords_l,
+                num=num_l,
+                rb_k3=rb_k3,
+                rb_down=rb_down,
+                rb_up=rb_up,
+            )
+        )
+        prev_coords, prev_num = coords_l, num_l
+
+    devox = {}
+    for s in devox_strides:
+        l = s.bit_length() - 1
+        devox[s] = trilinear_table(
+            point_coords, valid, levels[l].coords, levels[l].num, s, bounds
+        )
+
+    return UNetTopology(
+        levels=tuple(levels),
+        point_inverse=inverse,
+        point_counts=counts,
+        devox=devox,
+        bounds=bounds,
+        num_points=num_points,
+    )

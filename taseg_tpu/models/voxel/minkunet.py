@@ -1,0 +1,134 @@
+"""MinkUNet — sparse-voxel 3D UNet segmentor, TPU-native.
+
+Re-design of the reference MinkUNet
+(`pcseg/model/segmentor/voxel/minkunet/minkunet.py:186-455`): stem + four
+stride-2 encoder stages + four transposed-conv decoder stages with skip
+concatenation, a tri-scale point head `Linear(cat(z1, z2, z3))`, and
+point↔voxel round trips via average voxelization / trilinear
+devoxelization.  Differences by design, not omission:
+
+  * topology (voxel sets, rulebooks, interpolation tables) arrives
+    precomputed in a `UNetTopology` (see backbone_context.py) instead of
+    being built lazily inside the forward;
+  * the reference computes a z0 devoxelization whose features are never
+    consumed (minkunet.py:394, classifier uses only z1/z2/z3) — we skip it;
+  * BatchNorm is masked (padding rows excluded) and optionally psum-synced
+    over the mesh axis instead of torch SyncBatchNorm.
+
+Weight layouts match torchsparse Conv3d (K, C_in, C_out) with the same
+kernel-offset enumeration, so parameter trees are translatable 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...ops import PointSet, devoxelize, voxelize_avg
+from ..layers import BLOCKS, ConvBNReLU
+from .backbone_context import UNetTopology
+
+
+class MinkUNet(nn.Module):
+    num_classes: int
+    in_dim: int = 4
+    planes: Sequence[int] = (32, 32, 64, 128, 256, 256, 128, 96, 96)
+    num_layer: Sequence[int] = (2, 3, 4, 6, 2, 2, 2, 2)
+    block: str = "ResBlock"
+    cr: float = 1.0
+    dropout_p: float = 0.3
+    axis_name: Optional[str] = None
+    bn_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, points: PointSet, topo: UNetTopology, train: bool = False
+    ) -> jnp.ndarray:
+        """Returns per-point logits (P, num_classes)."""
+        cs = [int(self.cr * x) for x in self.planes]
+        blk = BLOCKS[self.block]
+        exp = blk.expansion
+        levels = topo.levels
+        masks = [
+            (jnp.arange(l.coords.shape[0], dtype=jnp.int32) < l.num)
+            for l in levels
+        ]
+
+        def stack(x, out_ch, n, rb, mask, name):
+            for i in range(n):
+                x = blk(
+                    out_ch,
+                    axis_name=self.axis_name,
+                    bn_momentum=self.bn_momentum,
+                    name=f"{name}_{i}",
+                )(x, rb, mask, train)
+            return x
+
+        feats = points.feats[:, : self.in_dim]
+        # initial voxelize: average point features per stride-1 voxel
+        # (reference initial_voxelize, minkunet/utils.py:11-36)
+        x0 = voxelize_avg(
+            feats, topo.point_inverse, levels[0].coords.shape[0],
+            topo.point_counts,
+        )
+
+        # stem: two 3^3 convs at stride 1 (minkunet.py:207-222)
+        x0 = ConvBNReLU(
+            cs[0], 27, axis_name=self.axis_name, bn_momentum=self.bn_momentum,
+            name="stem_0",
+        )(x0, levels[0].rb_k3, masks[0], train, center_identity=True)
+        x0 = ConvBNReLU(
+            cs[0], 27, axis_name=self.axis_name, bn_momentum=self.bn_momentum,
+            name="stem_1",
+        )(x0, levels[0].rb_k3, masks[0], train, center_identity=True)
+
+        # encoder: ks2/stride2 down conv + residual stack per level
+        enc = [x0]
+        x = x0
+        for l in range(1, 5):
+            x = ConvBNReLU(
+                x.shape[-1], 8, axis_name=self.axis_name,
+                bn_momentum=self.bn_momentum, name=f"down{l}",
+            )(x, levels[l].rb_down, masks[l], train)
+            x = stack(
+                x, cs[l], self.num_layer[l - 1], levels[l].rb_k3, masks[l],
+                f"stage{l}",
+            )
+            enc.append(x)
+        x1, x2, x3, x4 = enc[1], enc[2], enc[3], enc[4]
+
+        # z1: devoxelize stride-16 features to points (minkunet.py:400)
+        z1 = devoxelize(x4, *topo.devox[16])
+
+        x4 = nn.Dropout(self.dropout_p)(x4, deterministic=not train)
+
+        def up(x, lvl, skip, out_ch, n_blocks, name):
+            h = ConvBNReLU(
+                out_ch, 8, transposed=True, axis_name=self.axis_name,
+                bn_momentum=self.bn_momentum, name=f"{name}_deconv",
+            )(x, levels[lvl].rb_up, masks[lvl - 1], train)
+            h = jnp.concatenate([h, skip], axis=-1)
+            return stack(
+                h, out_ch, n_blocks, levels[lvl - 1].rb_k3, masks[lvl - 1],
+                f"{name}_blocks",
+            )
+
+        y1 = up(x4, 4, x3, cs[5], self.num_layer[4], "up1")
+        y2 = up(y1, 3, x2, cs[6], self.num_layer[5], "up2")
+        z2 = devoxelize(y2, *topo.devox[4])
+
+        y2 = nn.Dropout(self.dropout_p)(y2, deterministic=not train)
+        y3 = up(y2, 2, x1, cs[7], self.num_layer[6], "up3")
+        y4 = up(y3, 1, x0, cs[8], self.num_layer[7], "up4")
+        z3 = devoxelize(y4, *topo.devox[1])
+
+        # tri-scale point head (minkunet.py:332-334, 422)
+        z = jnp.concatenate([z1, z2, z3], axis=-1)
+        logits = nn.Dense(
+            self.num_classes,
+            kernel_init=nn.initializers.lecun_uniform(),
+            name="classifier",
+        )(z)
+        return logits

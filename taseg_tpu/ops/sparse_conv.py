@@ -1,60 +1,91 @@
-"""Sparse 3D convolution: gather → batched MXU matmul (→ implicit scatter).
+"""Sparse 3D convolution: gather → batched MXU matmul, scatter-free VJP.
 
 TPU-native replacement for the reference's per-offset gather-GEMM-scatter
 CUDA kernels (torchsparse `backend/convolution/convolution_cuda.cu:52-165`).
-Because the rulebook is a dense (K, V_out) index table, the output row for
-voxel v is simply
+With a dense (K, V_out) rulebook the output row for voxel v is
 
-    out[v] = sum_k  feats[idx[k, v]] * (idx[k, v] >= 0)  @  W[k]
+    out[v] = sum_k  feats[rb_fwd[k, v]] * (rb_fwd[k, v] >= 0)  @  W[k]
 
-which XLA compiles to K gathers + one contraction `einsum('kvi,kio->vo')`
-running on the MXU.  No atomics, no dynamic shapes; the backward pass
-(scatter-add of gradients) falls out of autodiff as sorted segment updates.
+i.e. K gathers + one `einsum('kvi,kio->vo')` on the MXU.
 
-Weight layout is (K, C_in, C_out), identical to torchsparse
-`nn/modules/conv.py:34-37`, with the same offset enumeration, so parameters
-are layout-compatible with reference checkpoints.
+The backward pass is a *custom VJP*: XLA would autodiff the gather into a
+scatter-add, and scatters on TPU are erratically slow (measured 10-1000x
+off bandwidth).  Instead the input gradient is itself a sparse conv through
+the *reverse* rulebook:
+
+    d_feats[i] = sum_k  d_out[rb_bwd[k, i]]  @  W[k]^T
+    d_W[k]     = gathered_k^T @ d_out
+
+For stride-1 odd kernels on one coordinate set, rb_bwd is just rb_fwd with
+the offset axis flipped (offsets[K-1-k] == -offsets[k]); for strided down/
+up convolutions the topology builder provides the paired tables (the same
+pairing the reference exploits when reusing forward kmaps for transposed
+conv, `nn/functional/conv.py:184-192`).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
-def sparse_conv_apply(
-    feats: jnp.ndarray,
-    weight: jnp.ndarray,
-    rulebook: jnp.ndarray,
-    *,
-    center_identity: bool = False,
-) -> jnp.ndarray:
-    """Apply a sparse convolution via a dense rulebook.
+def _gather_rows(feats: jnp.ndarray, rb: jnp.ndarray) -> jnp.ndarray:
+    """(K, V, C) gathered rows with rb == -1 masked to zero."""
+    return jnp.where((rb >= 0)[:, :, None], feats[jnp.clip(rb, 0), :], 0)
 
-    feats: (V_in, C_in); weight: (K, C_in, C_out); rulebook: (K, V_out)
-    int32 indices into feats, -1 = no contribution.  Returns (V_out, C_out).
 
-    center_identity: when the conv is stride-1 with odd kernel and
-    in/out coords are identical, the center offset is the identity map —
-    skip its gather and fold it in as a plain matmul (mirrors the dense
-    fast path in `convolution_cuda.cu:75-92`).
-    """
-    k = weight.shape[0]
-    if center_identity:
-        c = k // 2
-        side = [i for i in range(k) if i != c]
-        out = feats @ weight[c]
-        rb = rulebook[jnp.asarray(side)]
-        w = weight[jnp.asarray(side)]
-        gathered = jnp.where(
-            (rb >= 0)[:, :, None], feats[jnp.clip(rb, 0), :], 0.0
-        )
-        out = out + jnp.einsum(
-            "kvi,kio->vo", gathered, w, preferred_element_type=out.dtype
-        )
-        return out
-    gathered = jnp.where(
-        (rulebook >= 0)[:, :, None], feats[jnp.clip(rulebook, 0), :], 0.0
-    )
+def _conv_fwd_impl(feats, weight, rb):
+    gathered = _gather_rows(feats, rb)
     return jnp.einsum(
         "kvi,kio->vo", gathered, weight, preferred_element_type=feats.dtype
     )
+
+
+@jax.custom_vjp
+def sparse_conv_apply(
+    feats: jnp.ndarray,
+    weight: jnp.ndarray,
+    rb_fwd: jnp.ndarray,
+    rb_bwd: jnp.ndarray,
+) -> jnp.ndarray:
+    """feats (V_in, C_in), weight (K, C_in, C_out), rb_fwd (K, V_out),
+    rb_bwd (K, V_in) -> (V_out, C_out).
+
+    rb_bwd[k, i] must index the output voxel paired with input i under
+    offset k (see module docstring); pass `flip_rulebook(rb_fwd)` for
+    stride-1 odd kernels.
+    """
+    return _conv_fwd_impl(feats, weight, rb_fwd)
+
+
+def _conv_vjp_fwd(feats, weight, rb_fwd, rb_bwd):
+    return _conv_fwd_impl(feats, weight, rb_fwd), (feats, weight, rb_fwd, rb_bwd)
+
+
+def _conv_vjp_bwd(res, g):
+    feats, weight, rb_fwd, rb_bwd = res
+    # d_feats: conv of g through the reverse rulebook with W^T
+    g_gathered = _gather_rows(g, rb_bwd)  # (K, V_in, C_out)
+    d_feats = jnp.einsum(
+        "kvo,kio->vi", g_gathered, weight, preferred_element_type=feats.dtype
+    )
+    # d_W[k] = gathered_k^T @ g
+    in_gathered = _gather_rows(feats, rb_fwd)  # (K, V_out, C_in)
+    d_w = jnp.einsum(
+        "kvi,vo->kio", in_gathered, g, preferred_element_type=weight.dtype
+    )
+    return d_feats, d_w, None, None
+
+
+sparse_conv_apply.defvjp(_conv_vjp_fwd, _conv_vjp_bwd)
+
+
+def flip_rulebook(rb: jnp.ndarray) -> jnp.ndarray:
+    """Reverse table of a same-coordinate-set odd-kernel rulebook: offset
+    enumeration k -> K-1-k corresponds to negating the offset."""
+    return rb[::-1]
+
+
+def sparse_matmul(feats: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """1x1x1 'conv' — plain matmul fast path (reference conv.py:135-140)."""
+    return feats @ weight

@@ -1,0 +1,43 @@
+"""Segmentation metrics: confusion histogram + per-class IoU.
+
+Replaces the reference's `fast_hist`/`fast_hist_crop`/`per_class_iu`
+(train.py:35-52) and the pickle-tmpdir distributed merge
+(`common_utils.py:200-221`): the histogram is computed on device and merged
+with a single `psum` over the mesh — no filesystem barriers.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def confusion_hist(
+    pred: jnp.ndarray,
+    label: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_classes: int,
+) -> jnp.ndarray:
+    """(C, C) histogram hist[gt, pred] over valid points (device-friendly)."""
+    ok = valid & (label >= 0) & (label < num_classes)
+    flat = jnp.where(ok, label * num_classes + jnp.clip(pred, 0, num_classes - 1), num_classes * num_classes)
+    hist = jnp.zeros((num_classes * num_classes + 1,), jnp.int32).at[flat].add(1)
+    return hist[:-1].reshape(num_classes, num_classes)
+
+
+def per_class_iou(hist: np.ndarray) -> np.ndarray:
+    hist = np.asarray(hist, np.float64)
+    tp = np.diag(hist)
+    denom = hist.sum(1) + hist.sum(0) - tp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return tp / denom
+
+
+def miou_from_hist(hist: np.ndarray, ignore_index: int = 0) -> float:
+    """Mean IoU over non-ignored classes, NaN-skipping like the reference
+    (train.py:577-596 drops the ignore class then averages)."""
+    iou = per_class_iou(np.asarray(hist))
+    keep = np.ones(len(iou), bool)
+    keep[ignore_index] = False
+    vals = iou[keep]
+    return float(np.nanmean(vals) * 100.0)

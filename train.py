@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Train/eval CLI.
+
+Mirrors the reference CLI surface (`train.py:55-125`): --cfg_file YAML with
+MODALITY/DATA/MODEL/OPTIM blocks, --set dotted overrides, --eval,
+--pretrained_model, batch-size/epoch overrides.  Launchers are unnecessary:
+one process drives the whole ('data',) mesh (single- or multi-chip); on
+multi-host, jax.distributed.initialize extends the same program over DCN —
+replacing dist_train.sh / slurm_train.sh port scanning + NCCL init.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+
+from taseg_tpu.data import build_dataloader
+from taseg_tpu.engine import Trainer
+from taseg_tpu.parallel import make_mesh
+from taseg_tpu.utils.common import create_logger
+from taseg_tpu.utils.config import apply_overrides, load_config
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="taseg_tpu train/eval")
+    p.add_argument("--cfg_file", required=True, help="YAML config path")
+    p.add_argument("--extra_tag", default="default", help="experiment tag")
+    p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER,
+                   default=[], help="dotted-path config overrides")
+    p.add_argument("--eval", action="store_true", help="evaluate only")
+    p.add_argument("--pretrained_model", default=None)
+    p.add_argument("--fix_random_seed", action="store_true")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="scans per shard (per-device batch)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--eval_interval", type=int, default=1)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize first")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.distributed:
+        jax.distributed.initialize()
+
+    cfg = load_config(args.cfg_file)
+    if args.set_cfgs:
+        cfg = apply_overrides(cfg, args.set_cfgs)
+
+    out_dir = Path("output") / cfg.TAG / args.extra_tag
+    out_dir.mkdir(parents=True, exist_ok=True)
+    logger = create_logger(out_dir / "log.txt")
+    logger.info(f"devices: {jax.devices()}")
+
+    mesh = make_mesh()
+    n_shards = len(jax.devices())
+    scans_per_shard = args.batch_size or int(
+        cfg.OPTIM.get("BATCH_SIZE_PER_GPU", 2)
+    )
+
+    train_loader = build_dataloader(
+        cfg.DATA, training=True, n_shards=n_shards,
+        scans_per_shard=scans_per_shard,
+    )
+    val_loader = build_dataloader(
+        cfg.DATA, training=False, n_shards=n_shards,
+        scans_per_shard=scans_per_shard,
+        point_capacity=train_loader.point_capacity,
+    )
+
+    trainer = Trainer(
+        cfg, train_loader, val_loader,
+        output_dir=out_dir, logger=logger, mesh=mesh,
+        total_epochs=args.epochs,
+    )
+    if args.pretrained_model:
+        trainer.load_pretrained(args.pretrained_model)
+    trainer.resume_latest()
+
+    if args.eval:
+        trainer.evaluate(class_names=getattr(
+            train_loader.reader, "class_names", None))
+    else:
+        trainer.train(eval_interval=args.eval_interval)
+
+
+if __name__ == "__main__":
+    main()
