@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops import sparse_conv_apply
+from ..ops import flip_rulebook, sparse_conv_apply
 
 
 def _conv_init(kernel_volume: int, fan: int):
@@ -34,7 +34,12 @@ def _conv_init(kernel_volume: int, fan: int):
 
 
 class SparseConv(nn.Module):
-    """Sparse conv over a dense rulebook; weight layout (K, C_in, C_out)."""
+    """Sparse conv over paired dense rulebooks; weights (K, C_in, C_out).
+
+    `rulebooks` is (rb_fwd, rb_bwd) — the reverse table keeps the gradient
+    path scatter-free (see ops.sparse_conv).  For stride-1 odd kernels pass
+    rb_bwd=None and the flip of rb_fwd is used.
+    """
 
     out_channels: int
     kernel_volume: int  # K = prod(kernel_size); 1 => plain matmul
@@ -45,9 +50,7 @@ class SparseConv(nn.Module):
     def __call__(
         self,
         feats: jnp.ndarray,
-        rulebook: Optional[jnp.ndarray] = None,
-        *,
-        center_identity: bool = False,
+        rulebooks=None,
     ) -> jnp.ndarray:
         c_in = feats.shape[-1]
         fan = self.out_channels if self.transposed else c_in
@@ -62,10 +65,10 @@ class SparseConv(nn.Module):
                 _conv_init(self.kernel_volume, fan),
                 (self.kernel_volume, c_in, self.out_channels),
             )
-            assert rulebook is not None
-            out = sparse_conv_apply(
-                feats, w, rulebook, center_identity=center_identity
-            )
+            rb_fwd, rb_bwd = rulebooks
+            if rb_bwd is None:
+                rb_bwd = flip_rulebook(rb_fwd)
+            out = sparse_conv_apply(feats, w, rb_fwd, rb_bwd)
         if self.use_bias:
             b = self.param(
                 "bias", _conv_init(self.kernel_volume, fan), (self.out_channels,)
@@ -144,10 +147,10 @@ class ConvBNReLU(nn.Module):
     bn_momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, feats, rulebook, mask, train: bool, center_identity=False):
+    def __call__(self, feats, rulebooks, mask, train: bool):
         h = SparseConv(
             self.out_channels, self.kernel_volume, transposed=self.transposed
-        )(feats, rulebook, center_identity=center_identity)
+        )(feats, rulebooks)
         h = MaskedBatchNorm(
             momentum=self.bn_momentum, axis_name=self.axis_name
         )(h, mask, train)
@@ -166,18 +169,14 @@ class ResidualBlock(nn.Module):
     expansion: int = 1
 
     @nn.compact
-    def __call__(self, feats, rulebook, mask, train: bool):
+    def __call__(self, feats, rulebooks, mask, train: bool):
         c_in = feats.shape[-1]
-        h = SparseConv(self.out_channels, self.kernel_volume)(
-            feats, rulebook, center_identity=True
-        )
+        h = SparseConv(self.out_channels, self.kernel_volume)(feats, rulebooks)
         h = MaskedBatchNorm(momentum=self.bn_momentum, axis_name=self.axis_name)(
             h, mask, train
         )
         h = nn.relu(h)
-        h = SparseConv(self.out_channels, self.kernel_volume)(
-            h, rulebook, center_identity=True
-        )
+        h = SparseConv(self.out_channels, self.kernel_volume)(h, rulebooks)
         h = MaskedBatchNorm(momentum=self.bn_momentum, axis_name=self.axis_name)(
             h, mask, train
         )
@@ -201,16 +200,14 @@ class Bottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, feats, rulebook, mask, train: bool):
+    def __call__(self, feats, rulebooks, mask, train: bool):
         c_in = feats.shape[-1]
         c_exp = self.out_channels * self.expansion
         h = SparseConv(self.out_channels, 1)(feats)
         h = MaskedBatchNorm(momentum=self.bn_momentum, axis_name=self.axis_name)(
             h, mask, train
         )
-        h = SparseConv(self.out_channels, self.kernel_volume)(
-            h, rulebook, center_identity=True
-        )
+        h = SparseConv(self.out_channels, self.kernel_volume)(h, rulebooks)
         h = MaskedBatchNorm(momentum=self.bn_momentum, axis_name=self.axis_name)(
             h, mask, train
         )

@@ -4,11 +4,12 @@ The reference threads mutable `cmaps`/`kmaps` caches through SparseTensors
 (torchsparse `tensor.py:34-35`, `nn/functional/conv.py:144-176`), building
 hash maps lazily inside the forward.  On TPU we split topology from
 features: every integer structure — unique voxel sets per stride level,
-dense rulebooks for ks-3 / ks-2 / transposed convs, and point↔voxel
-interpolation tables — is built ONCE per step by `build_unet_topology` from
-the input coordinates alone.  The differentiable forward then touches only
-gathers and matmuls, which keeps the backward pass integer-free and makes
-rematerialization trivial.
+dense forward AND reverse rulebooks (the reverse tables double as the
+gradient path, keeping the backward pass scatter-free), and point↔voxel
+interpolation/segment tables — is built ONCE per step by
+`build_unet_topology` from the input coordinates alone.  The
+differentiable forward then touches only gathers, prefix sums, and
+matmuls.
 """
 
 from __future__ import annotations
@@ -20,9 +21,10 @@ from flax import struct
 
 from ...ops import (
     GridBounds,
+    build_reverse_rulebook,
     build_rulebook,
+    build_segment_tables,
     compute_bounds,
-    invert_rulebook,
     kernel_offsets,
     spdownsample,
     trilinear_table,
@@ -35,7 +37,7 @@ class UNetCapacities:
     """Static row capacities. `points` bounds the padded input point count;
     `voxels[l]` bounds the unique voxel count at stride 2**l.  Derived from
     dataset statistics (SURVEY.md §7 'Design stance'); overflow is detected
-    host-side via the returned counts."""
+    host-side via LevelTopo.num > capacity."""
 
     points: int
     voxels: tuple[int, ...]
@@ -44,9 +46,7 @@ class UNetCapacities:
     def for_points(points: int, num_levels: int = 5) -> "UNetCapacities":
         # LiDAR voxel occupancy decays ~3x per stride-2 level; use 2x for
         # safety margin, floor at 512 to keep tiny levels MXU-friendly.
-        voxels = tuple(
-            max(512, points >> l) for l in range(num_levels)
-        )
+        voxels = tuple(max(512, points >> l) for l in range(num_levels))
         return UNetCapacities(points=points, voxels=voxels)
 
 
@@ -55,16 +55,16 @@ class LevelTopo:
     coords: jnp.ndarray  # (V_l, 4) int32, key-sorted valid-first
     num: jnp.ndarray  # () int32
     rb_k3: jnp.ndarray  # (27, V_l) same-level 3^3 rulebook
-    rb_down: jnp.ndarray | None  # (8, V_l) from level l-1 (ks2 stride2)
-    rb_up: jnp.ndarray | None  # (8, V_{l-1}) transposed table back to l-1
+    rb_down: jnp.ndarray | None  # (8, V_l): fine input idx per coarse output
+    rb_up: jnp.ndarray | None  # (8, V_{l-1}): coarse input idx per fine out
 
 
 @struct.dataclass
 class UNetTopology:
     levels: tuple  # tuple[LevelTopo, ...] — strides 1, 2, 4, ..., 2^(L-1)
     point_inverse: jnp.ndarray  # (P,) point -> level-0 voxel id (-1 invalid)
-    point_counts: jnp.ndarray  # (V_0,) points per level-0 voxel
-    devox: dict  # stride (int) -> (idx (8, P), weights (8, P))
+    point_tables: object  # SegmentTables for initial average voxelization
+    devox: dict  # stride (int) -> DevoxTable
     bounds: GridBounds
     num_points: jnp.ndarray  # () int32
 
@@ -95,9 +95,10 @@ def build_unet_topology(
     )
     bounds = compute_bounds(vox0, valid, margin=64)
 
-    coords0, num0, inverse, counts = unique_coords(
+    coords0, num0, inverse, _counts = unique_coords(
         vox0, valid, bounds, caps.voxels[0]
     )
+    point_tables = build_segment_tables(inverse, caps.voxels[0])
 
     levels = []
     rb_k3 = build_rulebook(
@@ -118,17 +119,16 @@ def build_unet_topology(
         rb_down = build_rulebook(
             coords_l, num_l, prev_coords, prev_num, offs_down, bounds
         )
-        rb_up = invert_rulebook(rb_down, prev_coords.shape[0])
+        rb_up = build_reverse_rulebook(
+            prev_coords, prev_num, coords_l, num_l, offs_down, bounds
+        )
         rb_k3 = build_rulebook(
             coords_l, num_l, coords_l, num_l, kernel_offsets(3, stride=s), bounds
         )
         levels.append(
             LevelTopo(
-                coords=coords_l,
-                num=num_l,
-                rb_k3=rb_k3,
-                rb_down=rb_down,
-                rb_up=rb_up,
+                coords=coords_l, num=num_l, rb_k3=rb_k3,
+                rb_down=rb_down, rb_up=rb_up,
             )
         )
         prev_coords, prev_num = coords_l, num_l
@@ -143,7 +143,7 @@ def build_unet_topology(
     return UNetTopology(
         levels=tuple(levels),
         point_inverse=inverse,
-        point_counts=counts,
+        point_tables=point_tables,
         devox=devox,
         bounds=bounds,
         num_points=num_points,

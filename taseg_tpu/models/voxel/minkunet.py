@@ -56,33 +56,32 @@ class MinkUNet(nn.Module):
             for l in levels
         ]
 
-        def stack(x, out_ch, n, rb, mask, name):
+        def stack(x, out_ch, n, rbs, mask, name):
             for i in range(n):
                 x = blk(
                     out_ch,
                     axis_name=self.axis_name,
                     bn_momentum=self.bn_momentum,
                     name=f"{name}_{i}",
-                )(x, rb, mask, train)
+                )(x, rbs, mask, train)
             return x
 
         feats = points.feats[:, : self.in_dim]
         # initial voxelize: average point features per stride-1 voxel
         # (reference initial_voxelize, minkunet/utils.py:11-36)
-        x0 = voxelize_avg(
-            feats, topo.point_inverse, levels[0].coords.shape[0],
-            topo.point_counts,
-        )
+        x0 = voxelize_avg(feats, topo.point_inverse, topo.point_tables)
 
-        # stem: two 3^3 convs at stride 1 (minkunet.py:207-222)
+        # stem: two 3^3 convs at stride 1 (minkunet.py:207-222); the
+        # backward rulebook of a same-level odd kernel is the flip (None)
+        k3 = [(l.rb_k3, None) for l in levels]
         x0 = ConvBNReLU(
             cs[0], 27, axis_name=self.axis_name, bn_momentum=self.bn_momentum,
             name="stem_0",
-        )(x0, levels[0].rb_k3, masks[0], train, center_identity=True)
+        )(x0, k3[0], masks[0], train)
         x0 = ConvBNReLU(
             cs[0], 27, axis_name=self.axis_name, bn_momentum=self.bn_momentum,
             name="stem_1",
-        )(x0, levels[0].rb_k3, masks[0], train, center_identity=True)
+        )(x0, k3[0], masks[0], train)
 
         # encoder: ks2/stride2 down conv + residual stack per level
         enc = [x0]
@@ -91,38 +90,38 @@ class MinkUNet(nn.Module):
             x = ConvBNReLU(
                 x.shape[-1], 8, axis_name=self.axis_name,
                 bn_momentum=self.bn_momentum, name=f"down{l}",
-            )(x, levels[l].rb_down, masks[l], train)
+            )(x, (levels[l].rb_down, levels[l].rb_up), masks[l], train)
             x = stack(
-                x, cs[l], self.num_layer[l - 1], levels[l].rb_k3, masks[l],
-                f"stage{l}",
+                x, cs[l], self.num_layer[l - 1], k3[l], masks[l], f"stage{l}"
             )
             enc.append(x)
         x1, x2, x3, x4 = enc[1], enc[2], enc[3], enc[4]
 
         # z1: devoxelize stride-16 features to points (minkunet.py:400)
-        z1 = devoxelize(x4, *topo.devox[16])
+        z1 = devoxelize(x4, topo.devox[16])
 
         x4 = nn.Dropout(self.dropout_p)(x4, deterministic=not train)
 
         def up(x, lvl, skip, out_ch, n_blocks, name):
+            # transposed conv: forward table is rb_up, gradient path rb_down
             h = ConvBNReLU(
                 out_ch, 8, transposed=True, axis_name=self.axis_name,
                 bn_momentum=self.bn_momentum, name=f"{name}_deconv",
-            )(x, levels[lvl].rb_up, masks[lvl - 1], train)
+            )(x, (levels[lvl].rb_up, levels[lvl].rb_down), masks[lvl - 1], train)
             h = jnp.concatenate([h, skip], axis=-1)
             return stack(
-                h, out_ch, n_blocks, levels[lvl - 1].rb_k3, masks[lvl - 1],
+                h, out_ch, n_blocks, k3[lvl - 1], masks[lvl - 1],
                 f"{name}_blocks",
             )
 
         y1 = up(x4, 4, x3, cs[5], self.num_layer[4], "up1")
         y2 = up(y1, 3, x2, cs[6], self.num_layer[5], "up2")
-        z2 = devoxelize(y2, *topo.devox[4])
+        z2 = devoxelize(y2, topo.devox[4])
 
         y2 = nn.Dropout(self.dropout_p)(y2, deterministic=not train)
         y3 = up(y2, 2, x1, cs[7], self.num_layer[6], "up3")
         y4 = up(y3, 1, x0, cs[8], self.num_layer[7], "up4")
-        z3 = devoxelize(y4, *topo.devox[1])
+        z3 = devoxelize(y4, topo.devox[1])
 
         # tri-scale point head (minkunet.py:332-334, 422)
         z = jnp.concatenate([z1, z2, z3], axis=-1)

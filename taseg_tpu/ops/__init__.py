@@ -1,24 +1,28 @@
 """taseg_tpu.ops — the `tpusparse` core.
 
 TPU-native re-implementation of the torchsparse v1.4.0 + range_lib kernel
-surface (SURVEY.md §2.5): coordinate hashing → sort-based joins, cuckoo hash
-map → binary search, gather-GEMM-scatter conv → dense-rulebook gather +
-batched MXU matmul, atomic voxelize/devoxelize → segment reductions.
+surface (SURVEY.md §2.5): coordinate hashing -> sort-based joins, cuckoo
+hash map -> sort-merge with cumulative maxima, gather-GEMM-scatter conv ->
+dense-rulebook gather + batched MXU matmul with scatter-free custom VJPs,
+atomic voxelize/devoxelize -> sorted prefix-sum segment reductions.
 """
 
 from .coords import GridBounds, compute_bounds, pack_keys
-from .join import lex_search, query_coords, unique_coords
+from .join import join_keys, lex_search, query_coords, unique_coords
 from .quantize import quantize_coords, sparse_quantize
 from .rulebook import (
+    build_reverse_rulebook,
     build_rulebook,
-    invert_rulebook,
     kernel_offsets,
     make_ntuple,
     spdownsample,
 )
-from .sparse_conv import sparse_conv_apply
+from .sparse_conv import flip_rulebook, sparse_conv_apply, sparse_matmul
 from .sparse_tensor import PointSet, SparseGrid
 from .voxelize import (
+    DevoxTable,
+    SegmentTables,
+    build_segment_tables,
     devoxelize,
     point_to_voxel_index,
     trilinear_table,
@@ -26,13 +30,18 @@ from .voxelize import (
 )
 
 __all__ = [
+    "DevoxTable",
     "GridBounds",
     "PointSet",
+    "SegmentTables",
     "SparseGrid",
+    "build_reverse_rulebook",
     "build_rulebook",
+    "build_segment_tables",
     "compute_bounds",
     "devoxelize",
-    "invert_rulebook",
+    "flip_rulebook",
+    "join_keys",
     "kernel_offsets",
     "lex_search",
     "make_ntuple",
@@ -41,6 +50,7 @@ __all__ = [
     "quantize_coords",
     "query_coords",
     "sparse_conv_apply",
+    "sparse_matmul",
     "sparse_quantize",
     "spdownsample",
     "trilinear_table",

@@ -78,7 +78,9 @@ def pack_keys(
     hi = b * bounds.extent[2] + xyz[:, 2]
     lo = xyz[:, 0] * bounds.extent[1] + xyz[:, 1]
     sent_hi = QUERY_SENTINEL_HI if is_query else REF_SENTINEL_HI
-    sent_lo = jnp.int32(0) if is_query else jnp.int32(2**31 - 1)
+    # sentinel lo stays 0: join_keys fuses a tag into lo's low bit, so lo
+    # must remain < 2^30 for every row (including sentinels); the distinct
+    # hi sentinels alone already separate refs from queries
     hi = jnp.where(in_bounds, hi, sent_hi)
-    lo = jnp.where(in_bounds, lo, sent_lo)
+    lo = jnp.where(in_bounds, lo, 0)
     return hi, lo

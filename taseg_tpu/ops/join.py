@@ -42,6 +42,13 @@ def unique_coords(
     detect overflow via num > capacity; inverse (N,) int32, -1 for invalid
     rows; counts (capacity,) int32).
     """
+    n_in = coords.shape[0]
+    if n_in < capacity:  # pad so compaction slices below are well-formed
+        pad = capacity - n_in
+        coords = jnp.concatenate(
+            [coords, jnp.zeros((pad, 4), coords.dtype)]
+        )
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
     n = coords.shape[0]
     hi, lo = pack_keys(coords, bounds, valid)
     perm = jnp.arange(n, dtype=jnp.int32)
@@ -83,7 +90,7 @@ def unique_coords(
         jnp.arange(capacity, dtype=jnp.int32) == last_u, n_valid, next_start
     )
     counts = jnp.where(in_cap, next_start - take, 0)
-    return out_coords, num_unique, inverse, counts
+    return out_coords, num_unique, inverse[:n_in], counts
 
 
 def join_keys(
@@ -95,51 +102,51 @@ def join_keys(
 ) -> jnp.ndarray:
     """For each query key, the index of the equal reference key or -1.
 
-    Reference keys need NOT be pre-sorted (they are sorted here together
-    with the queries); they must be unique among valid rows.  Invalid rows
-    carry sentinel keys (see coords.pack_keys).
+    Requirements (both satisfied by `unique_coords` output): reference keys
+    are unique among their first `num_refs` rows AND key-sorted ascending.
+    Invalid rows carry sentinel keys (see coords.pack_keys).
+
+    Implementation: one sort of the tagged union (refs tie-break before
+    queries via the low bit), then three int32 `cummax` passes — measured
+    orders of magnitude faster than gather-chains or multi-operand
+    associative scans on TPU:
+      * last_ref_pos[i]   — position of the most recent ref row;
+      * last_boundary[i]  — position of my key-group's first row;
+        a query matches iff its group starts at-or-before the last ref
+        (refs sort first within a group, and refs are unique per key);
+      * ref_id[i]         — the matching ref's index, recoverable by a
+        plain cummax because refs are key-sorted, so their indices are
+        monotone along the sorted order.
     """
     v = ref_hi.shape[0]
     q = q_hi.shape[0]
+    n = v + q
     hi = jnp.concatenate([ref_hi, q_hi])
-    lo = jnp.concatenate([ref_lo, q_lo])
-    # tie-break: refs (tag 0) sort before queries (tag 1) on equal keys
-    tag = jnp.concatenate(
-        [jnp.zeros((v,), jnp.int32), jnp.ones((q,), jnp.int32)]
+    # fuse the ref/query tag into the low bit of lo so refs sort first on
+    # equal keys; callers keep lo < 2^30 (documented in coords.py)
+    lo2 = jnp.concatenate([ref_lo * 2, q_lo * 2 + 1])
+    row = jnp.arange(n, dtype=jnp.int32)
+    shi, slo2, srow = jax.lax.sort((hi, lo2, row), num_keys=2)
+
+    is_ref = srow < v
+    pos = jnp.arange(n, dtype=jnp.int32)
+    key_differs = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (shi[1:] != shi[:-1]) | ((slo2[1:] >> 1) != (slo2[:-1] >> 1)),
+        ]
     )
-    row = jnp.arange(v + q, dtype=jnp.int32)
-    shi, slo, stag, srow = jax.lax.sort((hi, lo, tag, row), num_keys=3)
-
-    is_ref = stag == 0
-
-    # propagate the last ref (key + index) down the sorted order; sorted
-    # keys are monotone, so a running lex-max over ref keys is exactly the
-    # most recent ref, with its row id carried alongside
-    def combine(a, b):
-        ah, al, ai = a
-        bh, bl, bi = b
-        take_b = (bh > ah) | ((bh == ah) & (bl >= al))
-        return (
-            jnp.where(take_b, bh, ah),
-            jnp.where(take_b, bl, al),
-            jnp.where(take_b, bi, ai),
-        )
-
-    carried_hi, carried_lo, carried_idx = jax.lax.associative_scan(
-        combine,
-        (
-            jnp.where(is_ref, shi, jnp.int32(-(2**31))),
-            jnp.where(is_ref, slo, jnp.int32(-(2**31))),
-            jnp.where(is_ref & (srow < num_refs), srow, jnp.int32(-1)),
-        ),
+    last_boundary = jax.lax.cummax(jnp.where(key_differs, pos, -1))
+    last_ref_pos = jax.lax.cummax(jnp.where(is_ref, pos, -1))
+    ref_id = jax.lax.cummax(
+        jnp.where(is_ref & (srow < num_refs), srow, -1)
     )
     matched = (
-        (carried_hi == shi)
-        & (carried_lo == slo)
-        & (carried_idx >= 0)
+        (last_ref_pos >= last_boundary)
+        & (ref_id >= 0)
         & (shi < QUERY_SENTINEL_HI)
     )
-    result_sorted = jnp.where(matched, carried_idx, -1)
+    result_sorted = jnp.where(matched, ref_id, -1)
 
     # restore original row order with one more sort (scatter-free)
     _, unsorted = jax.lax.sort((srow, result_sorted), num_keys=1)

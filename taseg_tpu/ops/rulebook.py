@@ -99,19 +99,22 @@ def build_rulebook(
     return query_coords(q, q_valid, in_coords, num_in, bounds)
 
 
-def invert_rulebook(rb: jnp.ndarray, v_fine: int) -> jnp.ndarray:
-    """Invert a downsampling rulebook for the matching transposed conv.
+def build_reverse_rulebook(
+    in_coords: jnp.ndarray,
+    num_in: jnp.ndarray,
+    out_coords: jnp.ndarray,
+    num_out: jnp.ndarray,
+    offsets: np.ndarray,
+    bounds: GridBounds,
+) -> jnp.ndarray:
+    """Reverse table for strided convs: t[k, i] = output voxel paired with
+    input i under offset k, i.e. the unique o with out[o] == in[i] - d_k.
 
-    Forward table: rb[k, c] = fine-input index feeding coarse-output c at
-    offset k.  Transposed table: t[k, f] = coarse-input index feeding
-    fine-output f at offset k.  For fixed k the forward map is injective, so
-    one scatter suffices (the TPU analogue of reference `conv.py:184-192`
-    swapping nbmaps roles)."""
-    k, v_coarse = rb.shape
-    coarse_ids = jnp.broadcast_to(
-        jnp.arange(v_coarse, dtype=jnp.int32)[None, :], (k, v_coarse)
+    Used as (a) the gradient path of a forward strided conv and (b) the
+    forward table of the matching transposed conv — the same forward/
+    transposed kmap sharing the reference exploits (conv.py:184-192), here
+    realized as a second sort-join on negated offsets instead of inverting
+    with a scatter (TPU scatters are pathologically slow)."""
+    return build_rulebook(
+        in_coords, num_in, out_coords, num_out, -np.asarray(offsets), bounds
     )
-    target = jnp.where(rb >= 0, rb, v_fine)  # dump misses past the end
-    out = jnp.full((k, v_fine + 1), -1, jnp.int32)
-    out = out.at[jnp.arange(k)[:, None], target].set(coarse_ids, mode="drop")
-    return out[:, :v_fine]

@@ -18,11 +18,21 @@ def confusion_hist(
     valid: jnp.ndarray,
     num_classes: int,
 ) -> jnp.ndarray:
-    """(C, C) histogram hist[gt, pred] over valid points (device-friendly)."""
+    """(C, C) histogram hist[gt, pred] over valid points.
+
+    Computed as a one-hot contraction on the MXU ((C, N) x (N, C) matmul)
+    instead of a scatter-add — scatters are pathologically slow on TPU."""
     ok = valid & (label >= 0) & (label < num_classes)
-    flat = jnp.where(ok, label * num_classes + jnp.clip(pred, 0, num_classes - 1), num_classes * num_classes)
-    hist = jnp.zeros((num_classes * num_classes + 1,), jnp.int32).at[flat].add(1)
-    return hist[:-1].reshape(num_classes, num_classes)
+    cls = jnp.arange(num_classes, dtype=jnp.int32)
+    gt_onehot = (label[:, None] == cls[None, :]) & ok[:, None]
+    pred_onehot = jnp.clip(pred, 0, num_classes - 1)[:, None] == cls[None, :]
+    hist = jnp.einsum(
+        "ng,np->gp",
+        gt_onehot.astype(jnp.float32),
+        pred_onehot.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return hist.astype(jnp.int32)
 
 
 def per_class_iou(hist: np.ndarray) -> np.ndarray:
