@@ -18,8 +18,14 @@ from typing import Iterator, Optional
 import numpy as np
 
 from .semantickitti.reader import SemanticKittiReader
-from .synthetic import SyntheticKittiReader
-from .voxel_dataset import VoxelPipeline, collate_batch
+from .semantickitti.reader_ms import MultiScanKittiReader
+from .synthetic import SyntheticKittiReader, SyntheticMsKittiReader
+from .voxel_dataset import (
+    MsVoxelPipeline,
+    MsVoxelSample,
+    VoxelPipeline,
+    collate_batch,
+)
 
 
 def build_reader(data_cfgs, training: bool):
@@ -31,10 +37,28 @@ def build_reader(data_cfgs, training: bool):
             augment=data_cfgs.get("AUGMENT", "GlobalAugment"),
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
         )
+    if dataset == "semantickitti_ms":
+        return MultiScanKittiReader(
+            data_cfgs["DATA_PATH"],
+            split="train" if training else "val",
+            augment=data_cfgs.get("AUGMENT", "GlobalAugment"),
+            samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
+            multiscan=data_cfgs.get("MULTISCAN", 16),
+            only_history=data_cfgs.get("ONLY_HISTORY", True),
+            flexible_steps=data_cfgs.get("FLEXIBLE_STEPS", None),
+            pseudo_mask=data_cfgs.get("PSEUDO_MASK", "gt"),
+            pseudo_label_root=data_cfgs.get("PSEUDO_LABEL_ROOT", None),
+        )
     if dataset == "synthetic":
         return SyntheticKittiReader(
             length=data_cfgs.get("LENGTH", 64),
             n_points=data_cfgs.get("N_RAW_POINTS", 120_000),
+            seed=0 if training else 1,
+        )
+    if dataset == "synthetic_ms":
+        return SyntheticMsKittiReader(
+            length=data_cfgs.get("LENGTH", 16),
+            n_points=data_cfgs.get("N_RAW_POINTS", 60_000),
             seed=0 if training else 1,
         )
     raise NotImplementedError(f"dataset {dataset!r}")
@@ -85,6 +109,13 @@ class VoxelLoader:
 
     def _make_batch(self, idxs):
         samples = [self.pipeline(self.reader[int(i)]) for i in idxs]
+        if samples and isinstance(samples[0], MsVoxelSample):
+            # the device consumes the fused clouds; keep the pair structure
+            # in metadata for eval-side point_mask slicing
+            fused = [s.fused for s in samples]
+            for f, s in zip(fused, samples):
+                f.ms_pair = s  # attach for collate meta
+            samples = fused
         # pad the final partial batch by repeating samples
         while len(samples) < self.scans_per_batch:
             samples.append(samples[len(samples) % len(idxs)])
@@ -135,7 +166,9 @@ def build_dataloader(
     """MODALITY x DATASET dispatch (voxel modality; range/fusion join as
     their model families land)."""
     reader = build_reader(data_cfgs, training)
-    pipeline = VoxelPipeline(
+    is_ms = str(data_cfgs.get("DATASET", "synthetic")).endswith("_ms")
+    pipe_cls = MsVoxelPipeline if is_ms else VoxelPipeline
+    kwargs = dict(
         voxel_size=data_cfgs.get("VOXEL_SIZE", 0.05),
         training=training,
         if_flip=data_cfgs.get("FLIP_AUG", True),
@@ -144,6 +177,9 @@ def build_dataloader(
         if_jitter=data_cfgs.get("TRANSFORM_AUG", True),
         if_rotate=data_cfgs.get("ROTATE_AUG", True),
     )
+    if is_ms:
+        kwargs["in_feature_dim"] = data_cfgs.get("IN_FEATURE_DIM", 5)
+    pipeline = pipe_cls(**kwargs)
     cap = point_capacity or int(
         data_cfgs.get("NUM_POINTS", 80_000) * scans_per_shard
     )

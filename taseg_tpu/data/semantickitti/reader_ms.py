@@ -1,0 +1,193 @@
+"""TLAD / FSA multi-scan SemanticKITTI reader — the TASeg core data path.
+
+Capability match of the reference multi-scan reader
+(`pcseg/data/dataset/semantickitti/semantickitti_ms.py:120-320`):
+
+  * loads the current frame plus up to MULTISCAN neighbor frames
+    (ONLY_HISTORY restricts to past frames — the causal window);
+  * pose-compensates each neighbor into the current frame
+    (`fuse_multi_scan` semantics, see poses.py);
+  * Flexible Step Aggregation: class c of neighbor Δ is kept iff
+    |Δ| % FLEXIBLE_STEPS[c] == 0, where the class comes from a *pseudo
+    mask* (a prior model's predictions on disk) or the GT labels
+    (`PSEUDO_MASK: mink_notta | gt`, semantickitti_ms.py:283-308);
+  * appends the time-flag channel (1 = current frame, 0 = history) between
+    reflectance and ring id (append_time_flag, :253-257);
+  * coupled LaserMix/PolarMix: the same mix strategy is replayed on the
+    single frame and the fused cloud (:182-237).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..augment import lasermix, polarmix
+from .labels import remap_labels, train_to_raw
+from .poses import load_sequence_poses, warp_to_frame
+from .reader import POLARMIX_INSTANCE_CLASSES, SemanticKittiReader, ring_ids_from_yaw
+
+
+class MultiScanKittiReader(SemanticKittiReader):
+    """Yields frame + fused-cloud pairs:
+
+    {'xyzret' (N,5), 'labels' (N,), 'xyzret_ms' (M,6: xyz r timeflag ring),
+     'labels_ms' (M,), 'path'}.
+    """
+
+    def __init__(
+        self,
+        root_path: str,
+        *,
+        multiscan: int = 16,
+        only_history: bool = True,
+        flexible_steps=None,
+        pseudo_mask: str = "gt",
+        pseudo_label_root: str | None = None,
+        **kw,
+    ):
+        super().__init__(root_path, **kw)
+        self.multiscan = multiscan
+        self.only_history = only_history
+        # per-class temporal sampling step; 0 = never aggregate this class
+        self.flexible_steps = (
+            list(flexible_steps) if flexible_steps is not None else [1] * 20
+        )
+        assert pseudo_mask in ("gt", "mink_notta")
+        self.pseudo_mask = pseudo_mask
+        self.pseudo_label_root = pseudo_label_root
+        self._poses_cache: dict[str, list[np.ndarray]] = {}
+
+    # ---------------- pose / path helpers --------------------------------
+    def _poses(self, seq: str) -> list[np.ndarray]:
+        if seq not in self._poses_cache:
+            self._poses_cache[seq] = load_sequence_poses(self.root_path / seq)
+        return self._poses_cache[seq]
+
+    @staticmethod
+    def _seq_and_frame(path: Path) -> tuple[str, int]:
+        return path.parent.parent.name, int(path.stem)
+
+    def _pseudo_labels(self, scan_path: Path) -> np.ndarray:
+        """Raw-id class labels used only for the flexible-step keep mask."""
+        if self.pseudo_mask == "gt":
+            lbl = Path(str(scan_path).replace("velodyne", "labels")[:-4] + ".label")
+            return np.fromfile(lbl, dtype=np.uint32) & 0xFFFF
+        assert self.pseudo_label_root, (
+            "PSEUDO_MASK mink_notta needs DATA.PSEUDO_LABEL_ROOT (predictions "
+            "written by a prior single-frame run + tta_remap)"
+        )
+        seq, frame = self._seq_and_frame(scan_path)
+        p = Path(self.pseudo_label_root) / seq / "predictions" / f"{frame:06d}.label"
+        return np.fromfile(p, dtype=np.uint32) & 0xFFFF
+
+    # ---------------- fusion ---------------------------------------------
+    def multiscan_fuse(self, scan_path: Path):
+        """Pose-compensated neighbor points with per-class flexible-step
+        masks applied; returns (points (M,4), train labels (M,))."""
+        seq, frame = self._seq_and_frame(scan_path)
+        poses = self._poses(seq)
+        pose0 = poses[frame]
+        # raw-id set kept at each |delta| per the per-class steps
+        step_arr = np.asarray(self.flexible_steps)
+        pts_list, lbl_list = [], []
+        deltas = range(-self.multiscan, 1 if self.only_history else self.multiscan)
+        for delta in deltas:
+            nb = frame + delta
+            if delta == 0 or nb < 0 or nb >= len(poses):
+                continue
+            nb_path = scan_path.parent / f"{nb:06d}.bin"
+            if not nb_path.exists():
+                continue
+            pts = np.fromfile(nb_path, dtype=np.float32).reshape(-1, 4)
+            raw_lbl = np.fromfile(
+                Path(str(nb_path).replace("velodyne", "labels")[:-4] + ".label"),
+                dtype=np.uint32,
+            )
+            pseudo = self._pseudo_labels(nb_path)
+
+            keep = np.zeros(len(pts), bool)
+            for cls, step in enumerate(step_arr):
+                if step == 0 or abs(delta) % step != 0:
+                    continue
+                keep |= pseudo == train_to_raw(np.array([cls]))[0]
+            if not keep.any():
+                continue
+            warped = warp_to_frame(pts[keep], poses[nb], pose0)
+            pts_list.append(warped)
+            lbl_list.append(
+                remap_labels(raw_lbl[keep], multiscan=self.multiscan_labels)
+            )
+        if not pts_list:
+            return np.zeros((0, 4), np.float32), np.zeros((0,), np.int32)
+        return (
+            np.concatenate(pts_list).astype(np.float32),
+            np.concatenate(lbl_list).astype(np.int32),
+        )
+
+    @staticmethod
+    def _with_time_flag(frame_pts: np.ndarray, fused_pts: np.ndarray) -> np.ndarray:
+        """(M, 5): xyz, reflectance, time flag (1 = current frame rows)."""
+        flag = np.zeros((len(fused_pts), 1), fused_pts.dtype)
+        flag[: len(frame_pts)] = 1.0
+        return np.concatenate([fused_pts[:, :4], flag], axis=1)
+
+    # ---------------- sample assembly ------------------------------------
+    def _frame_with_fused(self, path: Path):
+        """(frame (N,4), labels, fused-with-time-flag (M,5), fused labels).
+        Current-frame rows come first in the fused cloud (the point_mask
+        invariant used at eval; mixing may later reorder rows, which the
+        reference also allows since masks are eval-only)."""
+        pts, labels = self.load_scan(path)
+        hist_pts, hist_labels = self.multiscan_fuse(path)
+        fused = np.concatenate([pts, hist_pts])
+        fused_labels = np.concatenate([labels, hist_labels])
+        return pts, labels, self._with_time_flag(pts, fused), fused_labels
+
+    def __getitem__(self, index: int) -> dict:
+        path = self.scan_files[self.sample_idx[index]]
+        pts, labels, fused_tf, fused_labels = self._frame_with_fused(path)
+
+        if self.split == "train" and self.augment.startswith("GlobalAugment"):
+            coin = self.rng.integers(0, 2)
+            other = self.scan_files[self.rng.integers(0, len(self.scan_files))]
+            pts2, labels2, fused2_tf, fused2_labels = self._frame_with_fused(other)
+            if coin == 1:
+                pts, labels, strategy = lasermix(
+                    pts, labels, pts2, labels2, rng=self.rng, return_strategy=True
+                )
+                fused_tf, fused_labels = lasermix(
+                    fused_tf, fused_labels, fused2_tf, fused2_labels,
+                    strategy=strategy,
+                )
+            else:
+                alpha = (self.rng.random() - 1) * np.pi
+                omega = [
+                    self.rng.random() * np.pi * 2 / 3,
+                    (self.rng.random() + 1) * np.pi * 2 / 3,
+                ]
+                pts, labels, swap_f, rot_f = polarmix(
+                    pts, labels, pts2, labels2,
+                    alpha=alpha, beta=alpha + np.pi,
+                    instance_classes=POLARMIX_INSTANCE_CLASSES, omega=omega,
+                    rng=self.rng, return_flags=True,
+                )
+                fused_tf, fused_labels = polarmix(
+                    fused_tf, fused_labels, fused2_tf, fused2_labels,
+                    alpha=alpha, beta=alpha + np.pi,
+                    instance_classes=POLARMIX_INSTANCE_CLASSES, omega=omega,
+                    swap_flag=swap_f, rotate_flag=rot_f,
+                )
+
+        ring = ring_ids_from_yaw(pts).reshape(-1, 1).astype(np.float32)
+        ring_ms = ring_ids_from_yaw(fused_tf).reshape(-1, 1).astype(np.float32)
+        return {
+            "xyzret": np.concatenate([pts, ring], axis=1).astype(np.float32),
+            "labels": labels.astype(np.int32),
+            "xyzret_ms": np.concatenate([fused_tf, ring_ms], axis=1).astype(
+                np.float32
+            ),
+            "labels_ms": fused_labels.astype(np.int32),
+            "path": str(path),
+        }

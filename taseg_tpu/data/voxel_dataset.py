@@ -82,6 +82,94 @@ class VoxelPipeline:
         )
 
 
+@dataclass
+class MsVoxelSample:
+    """One frame + fused-cloud pair (TLAD/FSA), both quantized coherently.
+
+    `frame` is the single-scan sample (used for eval mapping); `fused` the
+    multi-scan cloud the model consumes; `num_frame_points` the count of
+    current-frame raw points leading the fused cloud (point_mask invariant,
+    reference semantickitti_voxel_ms.py:189-212).
+    """
+
+    frame: VoxelSample
+    fused: VoxelSample
+    num_frame_points: int
+
+
+class MsVoxelPipeline:
+    """Coupled transform for (frame, fused) pairs: identical aug params on
+    both clouds (reference aug_points_ms, seg_utils.py:102-200), clamp the
+    fused cloud to the frame's min bounds so both share a quantization
+    origin (semantickitti_voxel_ms.py:121-130), then dual quantization."""
+
+    def __init__(
+        self,
+        voxel_size: float = 0.05,
+        *,
+        training: bool = True,
+        if_flip=True, if_scale=True, scale_range=(0.9, 1.1),
+        if_jitter=True, if_rotate=True,
+        in_feature_dim: int = 5,
+        seed: int = 0,
+    ):
+        self.voxel_size = voxel_size
+        self.training = training
+        self.aug_flags = dict(
+            if_flip=if_flip, if_scale=if_scale, scale_range=scale_range,
+            if_jitter=if_jitter, if_rotate=if_rotate,
+        )
+        self.in_feature_dim = in_feature_dim
+        self.rng = np.random.default_rng(seed)
+
+    def _quantize(self, pts, labels, origin) -> VoxelSample:
+        vox = np.round(pts[:, :3] / self.voxel_size).astype(np.int32) - origin
+        _, index, inverse = sparse_quantize(
+            vox, return_index=True, return_inverse=True
+        )
+        return VoxelSample(
+            coords=vox[index],
+            feats=pts[index],
+            labels=labels[index],
+            inverse_map=inverse.astype(np.int32),
+            raw_labels=labels,
+            num_raw_points=len(pts),
+            name="",
+        )
+
+    def __call__(
+        self, sample: dict, aug: Optional[AugParams] = None
+    ) -> MsVoxelSample:
+        pts = sample["xyzret"][:, :4].astype(np.float32)
+        pts_ms = sample["xyzret_ms"][:, : self.in_feature_dim].astype(np.float32)
+        labels = np.asarray(sample["labels"]).reshape(-1).astype(np.int32)
+        labels_ms = np.asarray(sample["labels_ms"]).reshape(-1).astype(np.int32)
+
+        if self.training:
+            aug = aug or AugParams.sample(self.rng, **self.aug_flags)
+        if aug is not None:
+            pts = pts.copy()
+            pts_ms = pts_ms.copy()
+            pts[:, :3] = aug.apply(pts[:, :3])
+            pts_ms[:, :3] = aug.apply(pts_ms[:, :3])
+
+        # clamp fused cloud to the frame's min bounds (shared quant origin)
+        mn = pts[:, :3].min(0)
+        keep = (pts_ms[:, :3] >= mn).all(1)
+        pts_ms, labels_ms = pts_ms[keep], labels_ms[keep]
+
+        vox_ms = np.round(pts_ms[:, :3] / self.voxel_size).astype(np.int32)
+        origin = vox_ms.min(0, keepdims=True)
+        frame = self._quantize(pts, labels, origin)
+        fused = self._quantize(pts_ms, labels_ms, origin)
+        frame.name = fused.name = sample.get("path", "")
+        # current-frame rows lead the fused cloud and always survive the
+        # clamp (they define the min bound); the count equals the frame size
+        return MsVoxelSample(
+            frame=frame, fused=fused, num_frame_points=len(pts)
+        )
+
+
 def collate_shard(
     samples: list[VoxelSample], point_capacity: int
 ) -> dict:

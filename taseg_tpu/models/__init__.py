@@ -5,6 +5,10 @@ from .voxel import MinkUNet, UNetCapacities, UNetTopology, build_unet_topology
 
 SEGMENTORS = {
     "MinkUNet": MinkUNet,
+    # FSA model: identical backbone consuming the fused multi-scan cloud
+    # with the 5th time-flag feature (reference minkunet_ms.py:385-458);
+    # current-frame slicing at eval is host-side via point_mask metadata.
+    "MinkUNetMs": MinkUNet,
 }
 
 
@@ -24,6 +28,7 @@ def build_segmentor(model_cfgs, num_class: int):
         cr=model_cfgs.get("cr", 1.0),
         dropout_p=model_cfgs.get("DROPOUT_P", 0.3),
         axis_name="data" if model_cfgs.get("IF_DIST", False) else None,
+        compute_dtype=model_cfgs.get("COMPUTE_DTYPE", "float32"),
     )
 
 

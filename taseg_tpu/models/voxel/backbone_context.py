@@ -21,6 +21,7 @@ from flax import struct
 
 from ...ops import (
     GridBounds,
+    IdentityDevoxTable,
     build_reverse_rulebook,
     build_rulebook,
     build_segment_tables,
@@ -42,11 +43,20 @@ class UNetCapacities:
     points: int
     voxels: tuple[int, ...]
 
+    # measured stride-level occupancy fractions on SemanticKITTI-scale
+    # clouds (~119k voxels @0.05m): [1.0, ~0.38, ~0.13, ~0.045, ~0.015];
+    # schedule adds ~30% headroom per level
+    DEFAULT_SCHEDULE = (1.0, 0.5, 0.18, 0.07, 0.03)
+
     @staticmethod
-    def for_points(points: int, num_levels: int = 5) -> "UNetCapacities":
-        # LiDAR voxel occupancy decays ~3x per stride-2 level; use 2x for
-        # safety margin, floor at 512 to keep tiny levels MXU-friendly.
-        voxels = tuple(max(512, points >> l) for l in range(num_levels))
+    def for_points(
+        points: int, num_levels: int = 5, schedule=None
+    ) -> "UNetCapacities":
+        sched = schedule or UNetCapacities.DEFAULT_SCHEDULE
+        voxels = tuple(
+            max(512, int(points * sched[min(l, len(sched) - 1)]))
+            for l in range(num_levels)
+        )
         return UNetCapacities(points=points, voxels=voxels)
 
 
@@ -76,6 +86,7 @@ def build_unet_topology(
     *,
     num_levels: int = 5,
     devox_strides: tuple[int, ...] = (1, 4, 16),
+    integral_points: bool = True,
 ) -> UNetTopology:
     """Build the full MinkUNet topology from float point coords (P, 4).
 
@@ -135,6 +146,13 @@ def build_unet_topology(
 
     devox = {}
     for s in devox_strides:
+        if s == 1 and integral_points:
+            # host-deduped integer points: trilinear at stride 1 collapses
+            # to the identity gather through the existing inverse map
+            devox[s] = IdentityDevoxTable(
+                inverse=inverse, tables=point_tables
+            )
+            continue
         l = s.bit_length() - 1
         devox[s] = trilinear_table(
             point_coords, valid, levels[l].coords, levels[l].num, s, bounds

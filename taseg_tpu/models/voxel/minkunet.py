@@ -41,6 +41,8 @@ class MinkUNet(nn.Module):
     dropout_p: float = 0.3
     axis_name: Optional[str] = None
     bn_momentum: float = 0.1
+    compute_dtype: str = "float32"  # 'bfloat16' halves gather traffic (the
+    # AMP analogue of reference train.py:404-416; no loss scaling needed)
 
     @nn.compact
     def __call__(
@@ -70,6 +72,7 @@ class MinkUNet(nn.Module):
         # initial voxelize: average point features per stride-1 voxel
         # (reference initial_voxelize, minkunet/utils.py:11-36)
         x0 = voxelize_avg(feats, topo.point_inverse, topo.point_tables)
+        x0 = x0.astype(self.compute_dtype)
 
         # stem: two 3^3 convs at stride 1 (minkunet.py:207-222); the
         # backward rulebook of a same-level odd kernel is the flip (None)
@@ -123,8 +126,8 @@ class MinkUNet(nn.Module):
         y4 = up(y3, 1, x0, cs[8], self.num_layer[7], "up4")
         z3 = devoxelize(y4, topo.devox[1])
 
-        # tri-scale point head (minkunet.py:332-334, 422)
-        z = jnp.concatenate([z1, z2, z3], axis=-1)
+        # tri-scale point head (minkunet.py:332-334, 422); logits in f32
+        z = jnp.concatenate([z1, z2, z3], axis=-1).astype(jnp.float32)
         logits = nn.Dense(
             self.num_classes,
             kernel_init=nn.initializers.lecun_uniform(),

@@ -21,6 +21,7 @@ from .sparse_conv import flip_rulebook, sparse_conv_apply, sparse_matmul
 from .sparse_tensor import PointSet, SparseGrid
 from .voxelize import (
     DevoxTable,
+    IdentityDevoxTable,
     SegmentTables,
     build_segment_tables,
     devoxelize,
@@ -32,6 +33,7 @@ from .voxelize import (
 __all__ = [
     "DevoxTable",
     "GridBounds",
+    "IdentityDevoxTable",
     "PointSet",
     "SegmentTables",
     "SparseGrid",

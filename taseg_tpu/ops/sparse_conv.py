@@ -36,9 +36,13 @@ def _gather_rows(feats: jnp.ndarray, rb: jnp.ndarray) -> jnp.ndarray:
 
 def _conv_fwd_impl(feats, weight, rb):
     gathered = _gather_rows(feats, rb)
-    return jnp.einsum(
-        "kvi,kio->vo", gathered, weight, preferred_element_type=feats.dtype
+    out = jnp.einsum(
+        "kvi,kio->vo",
+        gathered,
+        weight.astype(feats.dtype),
+        preferred_element_type=jnp.float32,
     )
+    return out.astype(feats.dtype)
 
 
 @jax.custom_vjp
@@ -67,13 +71,16 @@ def _conv_vjp_bwd(res, g):
     # d_feats: conv of g through the reverse rulebook with W^T
     g_gathered = _gather_rows(g, rb_bwd)  # (K, V_in, C_out)
     d_feats = jnp.einsum(
-        "kvo,kio->vi", g_gathered, weight, preferred_element_type=feats.dtype
-    )
-    # d_W[k] = gathered_k^T @ g
+        "kvo,kio->vi",
+        g_gathered,
+        weight.astype(g.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(feats.dtype)
+    # d_W[k] = gathered_k^T @ g, accumulated in f32 for stability
     in_gathered = _gather_rows(feats, rb_fwd)  # (K, V_out, C_in)
     d_w = jnp.einsum(
-        "kvi,vo->kio", in_gathered, g, preferred_element_type=weight.dtype
-    )
+        "kvi,vo->kio", in_gathered, g, preferred_element_type=jnp.float32
+    ).astype(weight.dtype)
     return d_feats, d_w, None, None
 
 

@@ -205,8 +205,42 @@ def trilinear_table(
     return DevoxTable(idx=idx, weights=w, pairs=pairs)
 
 
+class IdentityDevoxTable(NamedTuple):
+    """Degenerate trilinear table for integer points at stride 1.
+
+    When the input points are host-deduped integer voxel coords (the voxel
+    pipeline contract), floor(p/1) == p, so the trilinear weights collapse
+    to 1 on the containing voxel: devoxelization is a single gather by the
+    point->voxel inverse map, and its VJP is a segment SUM through the
+    already-built point tables — zero extra topology cost.
+    """
+
+    inverse: jnp.ndarray  # (P,) point -> voxel id (-1 invalid)
+    tables: SegmentTables  # segment tables over `inverse`
+
+
 @jax.custom_vjp
-def devoxelize(voxel_feats: jnp.ndarray, table: DevoxTable) -> jnp.ndarray:
+def _devoxelize_identity(voxel_feats: jnp.ndarray, table: IdentityDevoxTable):
+    safe = jnp.clip(table.inverse, 0)
+    return jnp.where(
+        (table.inverse >= 0)[:, None], voxel_feats[safe], 0
+    )
+
+
+def _devox_id_fwd(voxel_feats, table):
+    return _devoxelize_identity(voxel_feats, table), table
+
+
+def _devox_id_bwd(table, g):
+    d_vox = _segment_sum_sorted(g, table.tables).astype(g.dtype)
+    return (d_vox, None)
+
+
+_devoxelize_identity.defvjp(_devox_id_fwd, _devox_id_bwd)
+
+
+@jax.custom_vjp
+def _devoxelize_trilinear(voxel_feats: jnp.ndarray, table: DevoxTable) -> jnp.ndarray:
     """Interpolate (V, C) voxel feats to (P, C) points (reference
     `spdevoxelize`)."""
     idx, w = table.idx, table.weights
@@ -220,7 +254,7 @@ def devoxelize(voxel_feats: jnp.ndarray, table: DevoxTable) -> jnp.ndarray:
 
 
 def _devox_fwd(voxel_feats, table):
-    return devoxelize(voxel_feats, table), table
+    return _devoxelize_trilinear(voxel_feats, table), table
 
 
 def _devox_bwd(table, g):
@@ -232,4 +266,12 @@ def _devox_bwd(table, g):
     return (d_vox, None)
 
 
-devoxelize.defvjp(_devox_fwd, _devox_bwd)
+_devoxelize_trilinear.defvjp(_devox_fwd, _devox_bwd)
+
+
+def devoxelize(voxel_feats: jnp.ndarray, table) -> jnp.ndarray:
+    """Interpolate (V, C) voxel feats to (P, C) points (reference
+    `spdevoxelize`); dispatches on the table type."""
+    if isinstance(table, IdentityDevoxTable):
+        return _devoxelize_identity(voxel_feats, table)
+    return _devoxelize_trilinear(voxel_feats, table)
