@@ -90,6 +90,10 @@ class VoxelLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.epoch = 0
+        # when set, every sample is transformed with this exact AugParams —
+        # the deterministic TTA-vote path (reference
+        # semantickitti_voxel.py:101-117)
+        self.fixed_aug = None
 
     @property
     def scans_per_batch(self) -> int:
@@ -108,7 +112,10 @@ class VoxelLoader:
         return order
 
     def _make_batch(self, idxs):
-        samples = [self.pipeline(self.reader[int(i)]) for i in idxs]
+        samples = [
+            self.pipeline(self.reader[int(i)], aug=self.fixed_aug)
+            for i in idxs
+        ]
         if samples and isinstance(samples[0], MsVoxelSample):
             # the device consumes the fused clouds; keep the pair structure
             # in metadata for eval-side point_mask slicing

@@ -124,7 +124,7 @@ class SyntheticMsKittiReader:
             "labels": labels,
             "xyzret_ms": np.concatenate([fused[:, :4], flag, ring_ms], axis=1),
             "labels_ms": fused_labels,
-            "path": f"synthetic_ms/{index:06d}.bin",
+            "path": f"synthetic_ms/08/velodyne/{index:06d}.bin",
         }
 
 
@@ -152,5 +152,5 @@ class SyntheticKittiReader:
         return {
             "xyzret": np.concatenate([pts, ring], axis=1),
             "labels": labels,
-            "path": f"synthetic/{index:06d}.bin",
+            "path": f"synthetic/08/velodyne/{index:06d}.bin",
         }

@@ -241,6 +241,125 @@ class Trainer:
             ):
                 self.evaluate()
 
+    # ------------- raw-point evaluation / TTA / submission ---------------
+    def _map_shard_to_points(self, logits_r, meta_r):
+        """Map one shard's voxel logits back to raw points (reference
+        minkunet.py:436-455 eval loop, host side).  Yields
+        (sample, point_logits (N_raw, C))."""
+        offsets = meta_r["offsets"]
+        for b, s in enumerate(meta_r["samples"]):
+            rows = logits_r[offsets[b]: offsets[b + 1]]
+            pt_logits = rows[s.inverse_map]
+            ms = getattr(s, "ms_pair", None)
+            if ms is not None:
+                # FSA: keep only current-frame raw points (point_mask
+                # semantics, semantickitti_voxel_ms.py:204-210)
+                pt_logits = pt_logits[: ms.num_frame_points]
+                yield ms.frame, pt_logits
+            else:
+                yield s, pt_logits
+
+    def evaluate_points(
+        self,
+        *,
+        tta_votes: int = 0,
+        save_path=None,
+        save_score: bool = False,
+        class_names=None,
+    ) -> dict:
+        """Per-raw-point evaluation; with tta_votes > 0, deterministic
+        rotation votes are softmax-summed per scan (reference
+        train.py:452-611) and predictions can be written as submission /
+        pseudo-mask label files."""
+        loader = self.val_loader
+        hist = np.zeros((self.num_class, self.num_class), np.int64)
+        n_scans = 0
+
+        def accumulate(sample, pt_logits, votes_acc):
+            key = sample.name
+            prob = jax.nn.softmax(jnp.asarray(pt_logits), axis=-1)
+            if key in votes_acc:
+                votes_acc[key] = votes_acc[key] + np.asarray(prob)
+            else:
+                votes_acc[key] = np.asarray(prob)
+
+        if tta_votes <= 0:
+            for arrays, meta in loader:
+                batch = batch_from_arrays(arrays)
+                _, logits = self.eval_step(
+                    self.state.params, self.state.batch_stats, batch
+                )
+                logits = np.asarray(logits)
+                for r, meta_r in enumerate(meta):
+                    for sample, pt_logits in self._map_shard_to_points(
+                        logits[r], meta_r
+                    ):
+                        n = sample.num_raw_points
+                        pred = pt_logits[:n].argmax(-1)
+                        labels = sample.raw_labels[:n]
+                        keep = labels != 0
+                        hist += np.bincount(
+                            labels[keep] * self.num_class
+                            + np.clip(pred[keep], 0, self.num_class - 1),
+                            minlength=self.num_class**2,
+                        ).reshape(self.num_class, self.num_class)
+                        if save_path is not None:
+                            from .utils.submission import (
+                                save_logits, save_predictions,
+                            )
+                            if save_score:
+                                save_logits(save_path, sample.name, pt_logits[:n])
+                            save_predictions(save_path, sample.name, pred)
+                        n_scans += 1
+        else:
+            from .data.augment import AugParams
+
+            # scan-major: all votes of one batch of scans are accumulated
+            # and finalized before moving on, bounding memory to one batch
+            base_rng = np.random.default_rng(0)
+            loader.pipeline.training = False
+            order = loader._epoch_order()
+            spb = loader.scans_per_batch
+            for step in range(len(loader)):
+                idxs = order[step * spb: (step + 1) * spb]
+                votes_acc: dict = {}
+                scan_meta: dict = {}
+                for vote in range(tta_votes):
+                    loader.fixed_aug = AugParams.tta_vote(vote, rng=base_rng)
+                    arrays, meta = loader._make_batch(idxs)
+                    batch = batch_from_arrays(arrays)
+                    _, logits = self.eval_step(
+                        self.state.params, self.state.batch_stats, batch
+                    )
+                    logits = np.asarray(logits)
+                    for r, meta_r in enumerate(meta):
+                        for sample, pt_logits in self._map_shard_to_points(
+                            logits[r], meta_r
+                        ):
+                            accumulate(sample, pt_logits, votes_acc)
+                            scan_meta[sample.name] = sample
+                loader.fixed_aug = None
+                for name, prob in votes_acc.items():
+                    sample = scan_meta[name]
+                    n = sample.num_raw_points
+                    pred = prob[:n].argmax(-1)
+                    labels = sample.raw_labels[:n]
+                    keep = labels != 0
+                    hist += np.bincount(
+                        labels[keep] * self.num_class
+                        + np.clip(pred[keep], 0, self.num_class - 1),
+                        minlength=self.num_class**2,
+                    ).reshape(self.num_class, self.num_class)
+                    if save_path is not None:
+                        from .utils.submission import save_predictions
+
+                        save_predictions(save_path, name, pred)
+                    n_scans += 1
+
+        miou = miou_from_hist(hist, ignore_index=0)
+        self.logger.info(f"point-eval mIoU {miou:.2f} over {n_scans} scans")
+        return {"miou": miou, "hist": hist}
+
     def evaluate(self, class_names=None) -> dict:
         hist = np.zeros((self.num_class, self.num_class), np.int64)
         t0 = time.perf_counter()

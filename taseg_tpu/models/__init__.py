@@ -1,9 +1,10 @@
 """Segmentor registry (reference `pcseg/model/segmentor/__init__.py:29-62`,
 minus the eval()-based construction — here it's an explicit dict)."""
 
+from .range2d import CENet, FIDNet, RangeNet, SalsaNext
 from .voxel import MinkUNet, UNetCapacities, UNetTopology, build_unet_topology
 
-SEGMENTORS = {
+VOXEL_SEGMENTORS = {
     "MinkUNet": MinkUNet,
     # FSA model: identical backbone consuming the fused multi-scan cloud
     # with the 5th time-flag feature (reference minkunet_ms.py:385-458);
@@ -11,25 +12,45 @@ SEGMENTORS = {
     "MinkUNetMs": MinkUNet,
 }
 
+RANGE_SEGMENTORS = {
+    "SalsaNext": SalsaNext,
+    "CENet": CENet,
+    "FIDNet": FIDNet,
+    "RangeNet": RangeNet,
+}
+
+SEGMENTORS = {**VOXEL_SEGMENTORS, **RANGE_SEGMENTORS}
+
 
 def build_segmentor(model_cfgs, num_class: int):
     """Construct a segmentor flax module from a MODEL config block
     (schema mirrors reference `tools/cfgs/**` MODEL sections)."""
     name = model_cfgs["NAME"]
-    if name not in SEGMENTORS:
-        raise KeyError(f"unknown segmentor {name!r}; have {sorted(SEGMENTORS)}")
-    cls = SEGMENTORS[name]
-    return cls(
-        num_classes=num_class,
-        in_dim=model_cfgs.get("IN_FEATURE_DIM", 4),
-        planes=tuple(model_cfgs.get("PLANES", (32, 32, 64, 128, 256, 256, 128, 96, 96))),
-        num_layer=tuple(model_cfgs.get("NUM_LAYER", (2, 3, 4, 6, 2, 2, 2, 2))),
-        block=model_cfgs.get("BLOCK", "Bottleneck"),
-        cr=model_cfgs.get("cr", 1.0),
-        dropout_p=model_cfgs.get("DROPOUT_P", 0.3),
-        axis_name="data" if model_cfgs.get("IF_DIST", False) else None,
-        compute_dtype=model_cfgs.get("COMPUTE_DTYPE", "float32"),
-    )
+    if name in VOXEL_SEGMENTORS:
+        cls = VOXEL_SEGMENTORS[name]
+        return cls(
+            num_classes=num_class,
+            in_dim=model_cfgs.get("IN_FEATURE_DIM", 4),
+            planes=tuple(
+                model_cfgs.get("PLANES", (32, 32, 64, 128, 256, 256, 128, 96, 96))
+            ),
+            num_layer=tuple(model_cfgs.get("NUM_LAYER", (2, 3, 4, 6, 2, 2, 2, 2))),
+            block=model_cfgs.get("BLOCK", "Bottleneck"),
+            cr=model_cfgs.get("cr", 1.0),
+            dropout_p=model_cfgs.get("DROPOUT_P", 0.3),
+            axis_name="data" if model_cfgs.get("IF_DIST", False) else None,
+            compute_dtype=model_cfgs.get("COMPUTE_DTYPE", "float32"),
+        )
+    if name in RANGE_SEGMENTORS:
+        cls = RANGE_SEGMENTORS[name]
+        kwargs = dict(
+            num_classes=num_class,
+            in_channels=model_cfgs.get("IN_FEATURE_DIM", 6),
+        )
+        if name == "CENet":
+            kwargs["aux"] = model_cfgs.get("IF_AUX", True)
+        return cls(**kwargs)
+    raise KeyError(f"unknown segmentor {name!r}; have {sorted(SEGMENTORS)}")
 
 
 __all__ = [

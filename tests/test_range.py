@@ -132,3 +132,28 @@ def test_knn_postprocess_cleans_isolated_pixel():
     )
     assert int(out[0]) == 3  # neighborhood vote overrides the bad pixel
     assert int(out[1]) == 3
+
+
+def test_cenet_fidnet_rangenet_forward():
+    rng = np.random.default_rng(7)
+    scan = jnp.asarray(rng.normal(size=(1, 16, 64, 6)).astype(np.float32))
+    from taseg_tpu.models.range2d import CENet, FIDNet, RangeNet
+
+    cenet = CENet(num_classes=20, aux=True)
+    v = cenet.init({"params": jax.random.PRNGKey(0)}, scan, False)
+    logits = cenet.apply(v, scan, False)
+    assert logits.shape == (1, 16, 64, 20)
+    out_train = cenet.apply(
+        v, scan, True, rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )[0]
+    main, aux = out_train
+    assert len(aux) == 3 and all(a.shape == (1, 16, 64, 20) for a in aux)
+
+    fid = FIDNet(num_classes=20)
+    v = fid.init({"params": jax.random.PRNGKey(0)}, scan, False)
+    assert fid.apply(v, scan, False).shape == (1, 16, 64, 20)
+
+    rn = RangeNet(num_classes=20, layers=(1, 1, 2, 2, 1))
+    v = rn.init({"params": jax.random.PRNGKey(0)}, scan, False)
+    assert rn.apply(v, scan, False).shape == (1, 16, 64, 20)
