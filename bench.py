@@ -16,7 +16,9 @@ import time
 import numpy as np
 
 BASELINE_SCANS_PER_SEC = 50.0  # BASELINE.json north_star
-BATCH_SCANS = 4
+BATCH_SCANS = 1  # larger batches amortize fixed costs but multiply the
+# topology sort sizes; XLA compile time for >4M-row sorts is prohibitive
+# on this backend, so the bench measures the single-scan configuration
 
 
 def main():

@@ -96,11 +96,19 @@ class Trainer:
         )
 
         self.caps = UNetCapacities.for_points(train_loader.point_capacity)
+        # model-specific topology extras (e.g. SPVCNN's point branch)
+        self.topo_kwargs = (
+            {"point_voxel_strides": (1, 4, 16)}
+            if cfg.MODEL["NAME"] in ("SPVCNN", "RPVNet")
+            else {}
+        )
         self.train_step = make_train_step(
-            self.model, self.criterion, self.tx, self.caps, self.mesh
+            self.model, self.criterion, self.tx, self.caps, self.mesh,
+            topo_kwargs=self.topo_kwargs,
         )
         self.eval_step = make_eval_step(
-            self.model, self.caps, self.mesh, num_class
+            self.model, self.caps, self.mesh, num_class,
+            topo_kwargs=self.topo_kwargs,
         )
 
         self.state = self._init_state()
@@ -119,7 +127,7 @@ class Trainer:
         feats = jnp.asarray(arrays["point_feats"][0])
         num = jnp.asarray(arrays["num_points"][0, 0])
         points = PointSet(coords=coords, feats=feats, num=num)
-        topo = build_unet_topology(coords, num, self.caps)
+        topo = build_unet_topology(coords, num, self.caps, **self.topo_kwargs)
         variables = self.model.init(
             {"params": jax.random.PRNGKey(int(self.cfg.get("SEED", 0)))},
             points, topo, False,

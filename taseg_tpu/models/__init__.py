@@ -1,11 +1,13 @@
 """Segmentor registry (reference `pcseg/model/segmentor/__init__.py:29-62`,
 minus the eval()-based construction — here it's an explicit dict)."""
 
+from .fusion import SPVCNN
 from .range2d import CENet, FIDNet, RangeNet, SalsaNext
 from .voxel import MinkUNet, UNetCapacities, UNetTopology, build_unet_topology
 
 VOXEL_SEGMENTORS = {
     "MinkUNet": MinkUNet,
+    "SPVCNN": SPVCNN,
     # FSA model: identical backbone consuming the fused multi-scan cloud
     # with the 5th time-flag feature (reference minkunet_ms.py:385-458);
     # current-frame slicing at eval is host-side via point_mask metadata.
@@ -40,6 +42,10 @@ def build_segmentor(model_cfgs, num_class: int):
             dropout_p=model_cfgs.get("DROPOUT_P", 0.3),
             axis_name="data" if model_cfgs.get("IF_DIST", False) else None,
             compute_dtype=model_cfgs.get("COMPUTE_DTYPE", "float32"),
+            **(
+                {"multi_scale": model_cfgs.get("MULTI_SCALE", "concat")}
+                if name == "SPVCNN" else {}
+            ),
         )
     if name in RANGE_SEGMENTORS:
         cls = RANGE_SEGMENTORS[name]

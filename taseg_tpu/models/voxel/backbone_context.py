@@ -27,6 +27,7 @@ from ...ops import (
     build_segment_tables,
     compute_bounds,
     kernel_offsets,
+    point_to_voxel_index,
     spdownsample,
     trilinear_table,
     unique_coords,
@@ -74,9 +75,13 @@ class UNetTopology:
     levels: tuple  # tuple[LevelTopo, ...] — strides 1, 2, 4, ..., 2^(L-1)
     point_inverse: jnp.ndarray  # (P,) point -> level-0 voxel id (-1 invalid)
     point_tables: object  # SegmentTables for initial average voxelization
-    devox: dict  # stride (int) -> DevoxTable
+    devox: dict  # stride (int) -> DevoxTable | IdentityDevoxTable
     bounds: GridBounds
     num_points: jnp.ndarray  # () int32
+    # stride -> (inverse (P,), SegmentTables): point_to_voxel at coarser
+    # strides (SPVCNN's point branch; reference minkunet/utils.py:41-64);
+    # empty unless built with point_voxel_strides
+    point_vox: dict = struct.field(default_factory=dict)
 
 
 def build_unet_topology(
@@ -87,6 +92,7 @@ def build_unet_topology(
     num_levels: int = 5,
     devox_strides: tuple[int, ...] = (1, 4, 16),
     integral_points: bool = True,
+    point_voxel_strides: tuple[int, ...] = (),
 ) -> UNetTopology:
     """Build the full MinkUNet topology from float point coords (P, 4).
 
@@ -158,6 +164,19 @@ def build_unet_topology(
             point_coords, valid, levels[l].coords, levels[l].num, s, bounds
         )
 
+    point_vox = {}
+    for s in point_voxel_strides:
+        if s == 1:
+            point_vox[s] = (inverse, point_tables)
+            continue
+        l = s.bit_length() - 1
+        inv_s = point_to_voxel_index(
+            point_coords, valid, levels[l].coords, levels[l].num, s, bounds
+        )
+        point_vox[s] = (
+            inv_s, build_segment_tables(inv_s, levels[l].coords.shape[0])
+        )
+
     return UNetTopology(
         levels=tuple(levels),
         point_inverse=inverse,
@@ -165,4 +184,5 @@ def build_unet_topology(
         devox=devox,
         bounds=bounds,
         num_points=num_points,
+        point_vox=point_vox,
     )

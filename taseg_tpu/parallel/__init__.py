@@ -74,6 +74,7 @@ def make_train_step(
     mesh: Mesh,
     *,
     donate: bool = True,
+    topo_kwargs: Optional[dict] = None,
 ) -> Callable:
     """Build the jitted SPMD training step.
 
@@ -91,7 +92,7 @@ def make_train_step(
         num_points = batch.num_points[0, 0]
 
         points = PointSet(coords=coords, feats=feats, num=num_points)
-        topo = build_unet_topology(coords, num_points, caps)
+        topo = build_unet_topology(coords, num_points, caps, **(topo_kwargs or {}))
         pvalid = points.valid_mask()
 
         shard_rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
@@ -143,7 +144,8 @@ def optax_global_norm(tree) -> jnp.ndarray:
 
 
 def make_eval_step(
-    model, caps: UNetCapacities, mesh: Mesh, num_classes: int
+    model, caps: UNetCapacities, mesh: Mesh, num_classes: int,
+    *, topo_kwargs: Optional[dict] = None,
 ) -> Callable:
     """Jitted SPMD eval step: per-point argmax -> confusion histogram,
     psum-ed over the mesh (replaces merge_results_dist,
@@ -155,7 +157,7 @@ def make_eval_step(
         labels = batch.labels[0]
         num_points = batch.num_points[0, 0]
         points = PointSet(coords=coords, feats=feats, num=num_points)
-        topo = build_unet_topology(coords, num_points, caps)
+        topo = build_unet_topology(coords, num_points, caps, **(topo_kwargs or {}))
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, points, topo, False
         )
