@@ -83,7 +83,7 @@ class MultiScanKittiReader(SemanticKittiReader):
         return np.fromfile(p, dtype=np.uint32) & 0xFFFF
 
     # ---------------- fusion ---------------------------------------------
-    def multiscan_fuse(self, scan_path: Path):
+    def multiscan_fuse(self, scan_path: Path, pseudo_override: str | None = None):
         """Pose-compensated neighbor points with per-class flexible-step
         masks applied; returns (points (M,4), train labels (M,))."""
         seq, frame = self._seq_and_frame(scan_path)
@@ -105,7 +105,10 @@ class MultiScanKittiReader(SemanticKittiReader):
                 Path(str(nb_path).replace("velodyne", "labels")[:-4] + ".label"),
                 dtype=np.uint32,
             )
-            pseudo = self._pseudo_labels(nb_path)
+            if pseudo_override == "gt":
+                pseudo = raw_lbl & 0xFFFF
+            else:
+                pseudo = self._pseudo_labels(nb_path)
 
             keep = np.zeros(len(pts), bool)
             for cls, step in enumerate(step_arr):
@@ -189,5 +192,46 @@ class MultiScanKittiReader(SemanticKittiReader):
                 np.float32
             ),
             "labels_ms": fused_labels.astype(np.int32),
+            "path": str(path),
+        }
+
+
+class MsKdKittiReader(MultiScanKittiReader):
+    """KD-stage reader: the pseudo-mask fused cloud (student input) plus a
+    GT-mask-selected fused cloud (teacher input) per sample (reference
+    `semantickitti_ms_kd.py` — same multiscan fuse run under both masks).
+    Mixing augmentations are disabled here, matching the staged KD recipe.
+    """
+
+    def __getitem__(self, index: int) -> dict:
+        path = self.scan_files[self.sample_idx[index]]
+        pts, labels = self.load_scan(path)
+
+        hist_pts, hist_labels = self.multiscan_fuse(path)
+        fused = np.concatenate([pts, hist_pts])
+        fused_labels = np.concatenate([labels, hist_labels])
+        fused_tf = self._with_time_flag(pts, fused)
+
+        hist_pts_gt, hist_labels_gt = self.multiscan_fuse(
+            path, pseudo_override="gt"
+        )
+        fused_gt = np.concatenate([pts, hist_pts_gt])
+        fused_labels_gt = np.concatenate([labels, hist_labels_gt])
+        fused_gt_tf = self._with_time_flag(pts, fused_gt)
+
+        ring = ring_ids_from_yaw(pts).reshape(-1, 1).astype(np.float32)
+        ring_ms = ring_ids_from_yaw(fused_tf).reshape(-1, 1).astype(np.float32)
+        ring_gt = ring_ids_from_yaw(fused_gt_tf).reshape(-1, 1).astype(np.float32)
+        return {
+            "xyzret": np.concatenate([pts, ring], axis=1).astype(np.float32),
+            "labels": labels.astype(np.int32),
+            "xyzret_ms": np.concatenate([fused_tf, ring_ms], axis=1).astype(
+                np.float32
+            ),
+            "labels_ms": fused_labels.astype(np.int32),
+            "xyzret_ms_gt": np.concatenate(
+                [fused_gt_tf, ring_gt], axis=1
+            ).astype(np.float32),
+            "labels_ms_gt": fused_labels_gt.astype(np.int32),
             "path": str(path),
         }

@@ -221,3 +221,127 @@ def collate_batch(
         {"offsets": p["offsets"], "samples": p["samples"]} for p in per
     ]
     return arrays, meta
+
+
+@dataclass
+class KdVoxelSample:
+    """Student (pseudo-mask) + teacher (GT-mask) fused clouds plus the
+    host-computed coordinate-matched distillation pairs."""
+
+    student: MsVoxelSample
+    teacher: VoxelSample
+    pair_student: np.ndarray  # (K,) rows into the student fused sample
+    pair_teacher: np.ndarray  # (K,) matching rows in the teacher sample
+
+
+class MsKdVoxelPipeline(MsVoxelPipeline):
+    """KD-stage pipeline: coupled aug over frame / student-fused /
+    teacher-fused clouds, dual quantization with a shared origin, and
+    host-side voxel alignment (replacing the reference's on-device
+    sphashquery, minkunet_ms_kd.py:613-615) sampled to <= max_voxel pairs.
+    """
+
+    def __init__(self, *args, max_voxel: int = 3000, **kw):
+        super().__init__(*args, **kw)
+        self.max_voxel = max_voxel
+
+    def __call__(self, sample: dict, aug: Optional[AugParams] = None):
+        pts = sample["xyzret"][:, :4].astype(np.float32)
+        pts_ms = sample["xyzret_ms"][:, : self.in_feature_dim].astype(np.float32)
+        pts_gt = sample["xyzret_ms_gt"][:, : self.in_feature_dim].astype(
+            np.float32
+        )
+        labels = np.asarray(sample["labels"]).reshape(-1).astype(np.int32)
+        labels_ms = np.asarray(sample["labels_ms"]).reshape(-1).astype(np.int32)
+        labels_gt = np.asarray(sample["labels_ms_gt"]).reshape(-1).astype(
+            np.int32
+        )
+
+        if self.training:
+            aug = aug or AugParams.sample(self.rng, **self.aug_flags)
+        if aug is not None:
+            pts, pts_ms, pts_gt = pts.copy(), pts_ms.copy(), pts_gt.copy()
+            pts[:, :3] = aug.apply(pts[:, :3])
+            pts_ms[:, :3] = aug.apply(pts_ms[:, :3])
+            pts_gt[:, :3] = aug.apply(pts_gt[:, :3])
+
+        mn = pts[:, :3].min(0)
+        keep = (pts_ms[:, :3] >= mn).all(1)
+        pts_ms, labels_ms = pts_ms[keep], labels_ms[keep]
+        keep_gt = (pts_gt[:, :3] >= mn).all(1)
+        pts_gt, labels_gt = pts_gt[keep_gt], labels_gt[keep_gt]
+
+        vox_ms = np.round(pts_ms[:, :3] / self.voxel_size).astype(np.int32)
+        origin = np.minimum(
+            vox_ms.min(0, keepdims=True),
+            np.round(pts_gt[:, :3] / self.voxel_size).astype(np.int32).min(
+                0, keepdims=True
+            ),
+        )
+        frame = self._quantize(pts, labels, origin)
+        fused = self._quantize(pts_ms, labels_ms, origin)
+        teacher = self._quantize(pts_gt, labels_gt, origin)
+        frame.name = fused.name = teacher.name = sample.get("path", "")
+        student = MsVoxelSample(
+            frame=frame, fused=fused, num_frame_points=len(pts)
+        )
+
+        # host-side voxel alignment: match student voxel coords in the
+        # teacher voxel set, then sample <= max_voxel pairs
+        t_lut = {tuple(c): i for i, c in enumerate(teacher.coords)}
+        s_idx, t_idx = [], []
+        for i, c in enumerate(fused.coords):
+            j = t_lut.get(tuple(c))
+            if j is not None:
+                s_idx.append(i)
+                t_idx.append(j)
+        s_idx = np.asarray(s_idx, np.int32)
+        t_idx = np.asarray(t_idx, np.int32)
+        if len(s_idx) > self.max_voxel:
+            pick = self.rng.permutation(len(s_idx))[: self.max_voxel]
+            s_idx, t_idx = s_idx[pick], t_idx[pick]
+        return KdVoxelSample(
+            student=student, teacher=teacher,
+            pair_student=s_idx, pair_teacher=t_idx,
+        )
+
+
+def collate_kd_batch(
+    shards: list[list[KdVoxelSample]],
+    point_capacity: int,
+    teacher_capacity: int,
+    max_voxel: int,
+) -> tuple[dict, list]:
+    """Collate KD samples: student + teacher Batch arrays plus padded
+    per-shard distillation pair tables (row indices offset per sample)."""
+    student_shards = [[k.student.fused for k in shard] for shard in shards]
+    teacher_shards = [[k.teacher for k in shard] for shard in shards]
+    for sh in shards:
+        for k in sh:
+            k.student.fused.ms_pair = k.student
+    s_arrays, s_meta = collate_batch(student_shards, point_capacity)
+    t_arrays, t_meta = collate_batch(teacher_shards, teacher_capacity)
+
+    cap_pairs = max_voxel * max(len(s) for s in shards)
+    r = len(shards)
+    ps = np.zeros((r, cap_pairs), np.int32)
+    pt = np.zeros((r, cap_pairs), np.int32)
+    pm = np.zeros((r, cap_pairs), bool)
+    for ri, shard in enumerate(shards):
+        cur = 0
+        s_off = s_meta[ri]["offsets"]
+        t_off = t_meta[ri]["offsets"]
+        for b, k in enumerate(shard):
+            n = len(k.pair_student)
+            ps[ri, cur: cur + n] = k.pair_student + s_off[b]
+            pt[ri, cur: cur + n] = k.pair_teacher + t_off[b]
+            pm[ri, cur: cur + n] = True
+            cur += n
+    arrays = {
+        "student": s_arrays,
+        "teacher": t_arrays,
+        "kd_student_idx": ps,
+        "kd_teacher_idx": pt,
+        "kd_mask": pm,
+    }
+    return arrays, s_meta

@@ -46,9 +46,16 @@ class MinkUNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, points: PointSet, topo: UNetTopology, train: bool = False
-    ) -> jnp.ndarray:
-        """Returns per-point logits (P, num_classes)."""
+        self,
+        points: PointSet,
+        topo: UNetTopology,
+        train: bool = False,
+        return_features: bool = False,
+    ):
+        """Returns per-point logits (P, num_classes); with
+        return_features=True also the tri-scale point features cat(z1,z2,z3)
+        — the distillation target of the KD stage (reference
+        minkunet_ms_kd.py:568, 605)."""
         cs = [int(self.cr * x) for x in self.planes]
         blk = BLOCKS[self.block]
         exp = blk.expansion
@@ -133,4 +140,6 @@ class MinkUNet(nn.Module):
             kernel_init=nn.initializers.lecun_uniform(),
             name="classifier",
         )(z)
+        if return_features:
+            return logits, z
         return logits
