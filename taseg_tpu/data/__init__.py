@@ -17,8 +17,9 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+from .nuscenes.reader import NuscenesMsReader, NuscenesReader
 from .semantickitti.reader import SemanticKittiReader
-from .semantickitti.reader_ms import MultiScanKittiReader
+from .semantickitti.reader_ms import MsKdKittiReader, MultiScanKittiReader
 from .synthetic import SyntheticKittiReader, SyntheticMsKittiReader
 from .voxel_dataset import (
     MsVoxelPipeline,
@@ -47,6 +48,34 @@ def build_reader(data_cfgs, training: bool):
             only_history=data_cfgs.get("ONLY_HISTORY", True),
             flexible_steps=data_cfgs.get("FLEXIBLE_STEPS", None),
             pseudo_mask=data_cfgs.get("PSEUDO_MASK", "gt"),
+            pseudo_label_root=data_cfgs.get("PSEUDO_LABEL_ROOT", None),
+        )
+    if dataset == "semantickitti_ms_kd":
+        return MsKdKittiReader(
+            data_cfgs["DATA_PATH"],
+            split="train" if training else "val",
+            augment="NoAug",
+            samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
+            multiscan=data_cfgs.get("MULTISCAN", 16),
+            only_history=data_cfgs.get("ONLY_HISTORY", True),
+            flexible_steps=data_cfgs.get("FLEXIBLE_STEPS", None),
+            pseudo_mask=data_cfgs.get("PSEUDO_MASK", "gt"),
+            pseudo_label_root=data_cfgs.get("PSEUDO_LABEL_ROOT", None),
+        )
+    if dataset == "nuscenes":
+        return NuscenesReader(
+            data_cfgs["DATA_PATH"],
+            split="train" if training else "val",
+            samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
+        )
+    if dataset == "nuscenes_ms":
+        return NuscenesMsReader(
+            data_cfgs["DATA_PATH"],
+            split="train" if training else "val",
+            samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
+            multiscan=data_cfgs.get("MULTISCAN", 15),
+            step=data_cfgs.get("STEP", 1.0),
+            flexible_steps=data_cfgs.get("FLEXIBLE_STEPS", None),
             pseudo_label_root=data_cfgs.get("PSEUDO_LABEL_ROOT", None),
         )
     if dataset == "synthetic":

@@ -33,6 +33,7 @@ from .parallel import (
 )
 from .utils.common import StepTimer, create_logger
 from .utils.metrics import miou_from_hist, per_class_iou
+from .utils.tb import MetricsWriter
 
 
 def batch_from_arrays(arrays: dict) -> Batch:
@@ -114,7 +115,7 @@ class Trainer:
         self.state = self._init_state()
         self.start_epoch = 0
         self.ckptr = ocp.PyTreeCheckpointer()
-        self.lr_per_step_log = []
+        self.writer = MetricsWriter(self.output_dir / "metrics")
 
     def _init_state(self) -> TrainState:
         loader = self.train_loader
@@ -226,6 +227,11 @@ class Trainer:
             loss = float(metrics["loss"])
             timer.step_done()
             losses.append(loss)
+            step = int(self.state.step)
+            self.writer.scalar("train/loss", loss, step)
+            self.writer.scalar(
+                "train/grad_norm", float(metrics["grad_norm"]), step
+            )
             if it % max(len(self.train_loader) // 4, 1) == 0:
                 self.logger.info(
                     f"epoch {epoch} it {it}/{len(self.train_loader)} "
@@ -382,6 +388,7 @@ class Trainer:
         dt = time.perf_counter() - t0
         iou = per_class_iou(hist)
         miou = miou_from_hist(hist, ignore_index=0)
+        self.writer.scalar("eval/miou", miou, int(self.state.step))
         names = class_names or [f"class_{i}" for i in range(self.num_class)]
         lines = [
             f"  {names[i]:<20s} IoU {100 * iou[i]:6.2f}"

@@ -142,8 +142,13 @@ class Losses:
             if cls_num_pts is not None
             else None
         )
+        self.ell_weight = (
+            jnp.asarray(wce_weights(cls_num_pts, ignore_index, normalize=False))
+            if cls_num_pts is not None else None
+        )
         unknown = set(self.loss_types) - {
             "CELoss", "LovLoss", "WCELoss", "FocalLoss", "DiceLossV0",
+            "DiceLossV1", "ELLLoss",
         }
         if unknown:
             raise NotImplementedError(f"loss types not yet built: {unknown}")
@@ -173,7 +178,97 @@ class Losses:
                 l = focal_loss(logits, labels, valid)
             elif name == "DiceLossV0":
                 l = dice_loss(logits, labels, valid, ignore_index=self.ignore_index)
+            elif name == "DiceLossV1":
+                l = dice_loss_v1(
+                    logits, labels, valid, ignore_index=self.ignore_index
+                )
+            elif name == "ELLLoss":
+                l = ell_loss(
+                    logits, labels, valid, ignore_index=self.ignore_index,
+                    cls_weight=self.ell_weight,
+                )
             else:  # pragma: no cover — guarded in __init__
                 raise KeyError(name)
             total = total + w * l
         return total
+
+
+def dice_loss_v1(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    ignore_index: int = 0,
+    smooth: float = 1.0,
+) -> jnp.ndarray:
+    """Soft multiclass dice over valid points (reference
+    `pcseg/loss/dice_loss_v1.py` semantics: per-class soft dice on softmax
+    probabilities, averaged over non-ignored classes)."""
+    c = logits.shape[-1]
+    probs = jnp.exp(_log_softmax(logits))
+    m = valid.astype(jnp.float32)[:, None]
+    onehot = (
+        jnp.arange(c)[None, :] == jnp.clip(labels, 0, c - 1)[:, None]
+    ).astype(jnp.float32) * m
+    p = probs * m
+    num = 2.0 * jnp.sum(p * onehot, axis=0) + smooth
+    den = jnp.sum(p + onehot, axis=0) + smooth
+    per_class = 1.0 - num / den
+    keep = jnp.ones((c,), bool).at[ignore_index].set(False)
+    return jnp.sum(jnp.where(keep, per_class, 0.0)) / jnp.maximum(
+        jnp.sum(keep), 1
+    )
+
+
+def ell_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    ignore_index: int = 0,
+    cls_weight: Optional[jnp.ndarray] = None,
+    w_dice: float = 0.8,
+    w_cross: float = 0.2,
+    gamma_dice: float = 1.0,
+    gamma_cross: float = 1.0,
+    smooth: float = 1.0,
+    exponent: float = 2.0,
+) -> jnp.ndarray:
+    """Exponential-logarithmic dice/CE hybrid (reference
+    `pcseg/loss/ell_loss.py:36-90`):
+    w_dice * E[(-ln Dice_c)^g] + w_cross * E[w_l * (-ln p_gt)^g].
+
+    Deviation (documented): the reference subsamples ~3x-positives worth of
+    negatives per class at random when computing the dice coefficient; we
+    weight all negatives by min(1, 3*n_pos/n_neg) instead — the same
+    expectation without a host RNG in the loss.
+    """
+    c = logits.shape[-1]
+    lp = _log_softmax(logits)
+    probs = jnp.exp(lp)
+    m = valid.astype(jnp.float32)
+    onehot = (
+        jnp.arange(c)[None, :] == jnp.clip(labels, 0, c - 1)[:, None]
+    ).astype(jnp.float32) * m[:, None]
+
+    n_pos = jnp.sum(onehot, axis=0)  # (C,)
+    n_neg = jnp.maximum(jnp.sum(m) - n_pos, 1.0)
+    neg_w = jnp.minimum(1.0, 3.0 * n_pos / n_neg)  # expected sampling rate
+    sample_w = onehot + (m[:, None] - onehot) * neg_w[None, :]
+
+    p = probs * m[:, None]
+    num = 2.0 * jnp.sum(p * onehot * sample_w, axis=0) + smooth
+    den = jnp.sum((p**exponent + onehot) * sample_w, axis=0) + smooth
+    dice_c = jnp.clip(num / den, 1e-6, 1.0)
+    keep = jnp.ones((c,), bool).at[ignore_index].set(False)
+    l_dice = jnp.sum(
+        jnp.where(keep, (-jnp.log(dice_c)) ** gamma_dice, 0.0)
+    ) / c
+
+    labels_c = jnp.clip(labels, 0, c - 1)
+    logpt = jnp.take_along_axis(lp, labels_c[:, None], axis=1)[:, 0]
+    wl = cls_weight[labels_c] if cls_weight is not None else 1.0
+    l_cross = jnp.sum(
+        wl * ((-logpt) ** gamma_cross) * m
+    ) / jnp.maximum(jnp.sum(m), 1e-8)
+    return w_dice * l_dice + w_cross * l_cross
