@@ -9,6 +9,13 @@ atomic voxelize/devoxelize -> sorted prefix-sum segment reductions.
 
 from .coords import GridBounds, compute_bounds, pack_keys
 from .join import join_keys, lex_search, query_coords, unique_coords
+from .point_range import (
+    pixel_ids,
+    point_to_range,
+    point_to_range_tables,
+    range_sample_table,
+    range_to_point,
+)
 from .quantize import quantize_coords, sparse_quantize
 from .rulebook import (
     build_reverse_rulebook,
@@ -48,6 +55,11 @@ __all__ = [
     "lex_search",
     "make_ntuple",
     "pack_keys",
+    "pixel_ids",
+    "point_to_range",
+    "point_to_range_tables",
+    "range_sample_table",
+    "range_to_point",
     "point_to_voxel_index",
     "quantize_coords",
     "query_coords",

@@ -259,8 +259,9 @@ def _devox_fwd(voxel_feats, table):
 
 def _devox_bwd(table, g):
     # d_vox[v] = sum over (corner, point) pairs mapping to v of w * g[point]
+    k = table.idx.shape[0]
     contrib = table.weights.reshape(-1, 1).astype(g.dtype) * jnp.tile(
-        g, (8, 1)
+        g, (k, 1)
     )
     d_vox = _segment_sum_sorted(contrib, table.pairs).astype(g.dtype)
     return (d_vox, None)
