@@ -19,7 +19,11 @@ import numpy as np
 
 from .nuscenes.reader import NuscenesMsReader, NuscenesReader
 from .semantickitti.reader import SemanticKittiReader
-from .semantickitti.reader_ms import MsKdKittiReader, MultiScanKittiReader
+from .semantickitti.reader_ms import (
+    MsKdKittiReader,
+    MultiScanKittiReader,
+    SmsaKittiReader,
+)
 from .synthetic import SyntheticKittiReader, SyntheticMsKittiReader
 from .voxel_dataset import (
     MsVoxelPipeline,
@@ -61,6 +65,19 @@ def build_reader(data_cfgs, training: bool):
             flexible_steps=data_cfgs.get("FLEXIBLE_STEPS", None),
             pseudo_mask=data_cfgs.get("PSEUDO_MASK", "gt"),
             pseudo_label_root=data_cfgs.get("PSEUDO_LABEL_ROOT", None),
+        )
+    if dataset == "semantickitti_ms_ms":
+        return SmsaKittiReader(
+            data_cfgs["DATA_PATH"],
+            split="train" if training else "val",
+            augment="NoAug",
+            samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
+            multiscan=data_cfgs.get("MULTISCAN", 16),
+            only_history=data_cfgs.get("ONLY_HISTORY", True),
+            flexible_steps=data_cfgs.get("FLEXIBLE_STEPS", None),
+            pseudo_mask=data_cfgs.get("PSEUDO_MASK", "gt"),
+            pseudo_label_root=data_cfgs.get("PSEUDO_LABEL_ROOT", None),
+            multiscan_labels=True,
         )
     if dataset == "nuscenes":
         return NuscenesReader(

@@ -83,15 +83,22 @@ class MultiScanKittiReader(SemanticKittiReader):
         return np.fromfile(p, dtype=np.uint32) & 0xFFFF
 
     # ---------------- fusion ---------------------------------------------
-    def multiscan_fuse(self, scan_path: Path, pseudo_override: str | None = None):
+    def multiscan_fuse(
+        self,
+        scan_path: Path,
+        pseudo_override: str | None = None,
+        return_extras: bool = False,
+    ):
         """Pose-compensated neighbor points with per-class flexible-step
-        masks applied; returns (points (M,4), train labels (M,))."""
+        masks applied; returns (points (M,4), train labels (M,)) and, with
+        return_extras, also (raw uint32 labels, instance ids, frame
+        deltas) — the extra channels SMSA operates on."""
         seq, frame = self._seq_and_frame(scan_path)
         poses = self._poses(seq)
         pose0 = poses[frame]
         # raw-id set kept at each |delta| per the per-class steps
         step_arr = np.asarray(self.flexible_steps)
-        pts_list, lbl_list = [], []
+        pts_list, lbl_list, raw_list, delta_list = [], [], [], []
         deltas = range(-self.multiscan, 1 if self.only_history else self.multiscan)
         for delta in deltas:
             nb = frame + delta
@@ -122,12 +129,27 @@ class MultiScanKittiReader(SemanticKittiReader):
             lbl_list.append(
                 remap_labels(raw_lbl[keep], multiscan=self.multiscan_labels)
             )
+            raw_list.append(raw_lbl[keep])
+            delta_list.append(np.full(int(keep.sum()), delta, np.int32))
         if not pts_list:
-            return np.zeros((0, 4), np.float32), np.zeros((0,), np.int32)
-        return (
+            empty = (
+                np.zeros((0, 4), np.float32), np.zeros((0,), np.int32),
+            )
+            if return_extras:
+                return empty + (
+                    np.zeros((0,), np.uint32), np.zeros((0,), np.int32),
+                )
+            return empty
+        out = (
             np.concatenate(pts_list).astype(np.float32),
             np.concatenate(lbl_list).astype(np.int32),
         )
+        if return_extras:
+            return out + (
+                np.concatenate(raw_list),
+                np.concatenate(delta_list),
+            )
+        return out
 
     @staticmethod
     def _with_time_flag(frame_pts: np.ndarray, fused_pts: np.ndarray) -> np.ndarray:
@@ -233,5 +255,67 @@ class MsKdKittiReader(MultiScanKittiReader):
                 [fused_gt_tf, ring_gt], axis=1
             ).astype(np.float32),
             "labels_ms_gt": fused_labels_gt.astype(np.int32),
+            "path": str(path),
+        }
+
+
+class SmsaKittiReader(MultiScanKittiReader):
+    """SMSA reader (26-class multi-scan task): applies static2moving /
+    moving2static instance switching on the frame + fused clouds before
+    time-flagging (reference `semantickitti_ms_ms.py:149-171`).  Requires
+    multiscan labels (moving classes 20..25) — construct with
+    multiscan_labels=True."""
+
+    def __getitem__(self, index: int) -> dict:
+        from .labels import remap_labels as _remap
+        from .smsa import moving2static, static2moving
+
+        path = self.scan_files[self.sample_idx[index]]
+        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+        raw = np.fromfile(
+            Path(str(path).replace("velodyne", "labels")[:-4] + ".label"),
+            dtype=np.uint32,
+        )
+        frame_raw = (raw & 0xFFFF).astype(np.int64)
+        frame_inst = (raw >> 16).astype(np.int32)
+
+        fused_pts, _, fused_rawu, fused_delta = self.multiscan_fuse(
+            path, return_extras=True
+        )
+        fused_raw = (fused_rawu & 0xFFFF).astype(np.int64)
+        fused_inst = (fused_rawu >> 16).astype(np.int32)
+
+        if self.split == "train" and len(fused_pts):
+            if ((frame_raw == 18) | (frame_raw == 20)).any():
+                pts, frame_raw, fused_pts, fused_raw = static2moving(
+                    pts, frame_raw, frame_inst,
+                    fused_pts, fused_raw, fused_inst, fused_delta,
+                    rng=self.rng,
+                )
+            if ((frame_raw == 253) | (frame_raw == 255)).any():
+                pts, frame_raw, fused_pts, fused_raw = moving2static(
+                    pts, frame_raw, frame_inst,
+                    fused_pts, fused_raw, fused_inst, fused_delta,
+                    rng=self.rng,
+                )
+
+        labels = _remap(frame_raw.astype(np.uint32), multiscan=True).astype(
+            np.int32
+        )
+        fused_labels = _remap(
+            fused_raw.astype(np.uint32), multiscan=True
+        ).astype(np.int32)
+        full = np.concatenate([pts, fused_pts])
+        full_labels = np.concatenate([labels, fused_labels])
+        fused_tf = self._with_time_flag(pts, full)
+        ring = ring_ids_from_yaw(pts).reshape(-1, 1).astype(np.float32)
+        ring_ms = ring_ids_from_yaw(fused_tf).reshape(-1, 1).astype(np.float32)
+        return {
+            "xyzret": np.concatenate([pts, ring], axis=1).astype(np.float32),
+            "labels": labels,
+            "xyzret_ms": np.concatenate([fused_tf, ring_ms], axis=1).astype(
+                np.float32
+            ),
+            "labels_ms": full_labels,
             "path": str(path),
         }

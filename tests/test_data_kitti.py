@@ -191,3 +191,80 @@ def test_polarmix_flag_replay():
     )
     np.testing.assert_allclose(p1, p2)
     np.testing.assert_array_equal(l1, l2)
+
+
+def test_smsa_reader_switches_classes(kitti_root):
+    from taseg_tpu.data.semantickitti.reader_ms import SmsaKittiReader
+
+    r = SmsaKittiReader(
+        str(kitti_root), split="train", augment="NoAug",
+        multiscan=3, pseudo_mask="gt", flexible_steps=[0] + [1] * 19,
+        multiscan_labels=True, samples_per_epoch=-1,
+    )
+    # force deterministic switching by seeding
+    r.rng = np.random.default_rng(0)
+    found_moving = False
+    for i in range(len(r)):
+        s = r[i]
+        assert s["labels"].max() < 26
+        if (s["labels"] >= 20).any() or (s["labels_ms"] >= 20).any():
+            found_moving = True
+    # raw fixture labels contain truck/other-vehicle candidates (raw 18
+    # absent in fixture but 30/31 present? the fixture uses ids
+    # 10,40,48,50,70,81,30) — switching may not trigger; the contract
+    # check is shape/consistency:
+    s = r[0]
+    assert s["xyzret_ms"].shape[1] == 6
+    assert len(s["labels_ms"]) == len(s["xyzret_ms"])
+
+
+def test_smsa_functions_direct():
+    from taseg_tpu.data.semantickitti.smsa import (
+        moving2static, static2moving,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 200
+    frame_pts = rng.normal(0, 5, (n, 4)).astype(np.float32)
+    frame_raw = np.full(n, 40, np.int64)
+    frame_raw[:50] = 18  # a static truck instance
+    frame_inst = np.zeros(n, np.int32)
+    frame_inst[:50] = 7
+    # fused = 2 history copies
+    fused_pts = np.concatenate([frame_pts, frame_pts]).copy()
+    fused_raw = np.concatenate([frame_raw, frame_raw]).copy()
+    fused_inst = np.concatenate([frame_inst, frame_inst])
+    fused_delta = np.concatenate(
+        [np.full(n, -1, np.int32), np.full(n, -2, np.int32)]
+    )
+    fp, fr, mp, mr = static2moving(
+        frame_pts.copy(), frame_raw.copy(), frame_inst,
+        fused_pts, fused_raw, fused_inst, fused_delta,
+        rng=np.random.default_rng(0), prob=1.0,
+    )
+    assert (fr[:50] == 258).all()  # truck became moving-truck
+    assert (mr[:50] == 258).all()
+    # history copies of the instance moved relative to each other
+    d1 = mp[:50, :2] - frame_pts[:50, :2]
+    d2 = mp[n: n + 50, :2] - frame_pts[:50, :2]
+    assert not np.allclose(d1, d2)
+
+    # moving2static: freeze a moving bicyclist
+    frame_raw2 = np.full(n, 253, np.int64)
+    inst2 = np.ones(n, np.int32)
+    fused_pts2 = np.concatenate(
+        [frame_pts + np.array([1.0, 0, 0, 0], np.float32),
+         frame_pts + np.array([2.0, 0, 0, 0], np.float32)]
+    )
+    fused_raw2 = np.full(2 * n, 253, np.int64)
+    fused_inst2 = np.ones(2 * n, np.int32)
+    fp2, fr2, mp2, mr2 = moving2static(
+        frame_pts.copy(), frame_raw2.copy(), inst2,
+        fused_pts2.copy(), fused_raw2, fused_inst2, fused_delta,
+        rng=np.random.default_rng(0), prob=1.0,
+    )
+    assert (fr2 == 31).all() and (mr2 == 31).all()
+    # the delta=-1 frame (offset +1 in x) is shifted by -1*(+1) -> aligned
+    np.testing.assert_allclose(
+        mp2[:n, 0], frame_pts[:, 0], atol=1e-5
+    )
