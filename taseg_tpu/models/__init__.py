@@ -4,6 +4,7 @@ minus the eval()-based construction — here it's an explicit dict)."""
 from .fusion import SPVCNN
 from .range2d import CENet, FIDNet, RangeNet, SalsaNext
 from .voxel import (
+    CylinderTS,
     MinkUNet,
     MinkUNetMsMm,
     UNetCapacities,
@@ -15,6 +16,7 @@ VOXEL_SEGMENTORS = {
     "MinkUNet": MinkUNet,
     "SPVCNN": SPVCNN,
     "MinkUNetMsMm": MinkUNetMsMm,  # TIAF (driven by a dedicated step fn)
+    "Cylinder_TS": CylinderTS,     # polar grid (own topology builder)
     # FSA model: identical backbone consuming the fused multi-scan cloud
     # with the 5th time-flag feature (reference minkunet_ms.py:385-458);
     # current-frame slicing at eval is host-side via point_mask metadata.

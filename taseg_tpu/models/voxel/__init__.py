@@ -1,9 +1,13 @@
 from .backbone_context import UNetCapacities, UNetTopology, build_unet_topology
+from .cylinder3d import CylinderTS, CylTopology, build_cylinder_topology
 from .minkunet import MinkUNet
 from .minkunet_mm import MinkUNetMsMm, SparseEncoderFov, UNet2D
 
 __all__ = [
+    "CylinderTS",
+    "CylTopology",
     "MinkUNet",
+    "build_cylinder_topology",
     "MinkUNetMsMm",
     "SparseEncoderFov",
     "UNet2D",
