@@ -25,6 +25,7 @@ from .semantickitti.reader_ms import (
     SmsaKittiReader,
 )
 from .synthetic import SyntheticKittiReader, SyntheticMsKittiReader
+from .waymo import WaymoReader
 from .voxel_dataset import (
     MsVoxelPipeline,
     MsVoxelSample,
@@ -94,6 +95,12 @@ def build_reader(data_cfgs, training: bool):
             step=data_cfgs.get("STEP", 1.0),
             flexible_steps=data_cfgs.get("FLEXIBLE_STEPS", None),
             pseudo_label_root=data_cfgs.get("PSEUDO_LABEL_ROOT", None),
+        )
+    if dataset == "waymo":
+        return WaymoReader(
+            data_cfgs["DATA_PATH"],
+            split="train" if training else "val",
+            samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
         )
     if dataset == "synthetic":
         return SyntheticKittiReader(

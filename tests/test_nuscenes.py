@@ -154,3 +154,25 @@ def test_ms_reader_distance_sweeps(nusc_root):
 def test_remap_labels_uint8():
     raw = np.array([17, 24, 2, 31, 0], np.uint8)
     assert remap_labels(raw).tolist() == [4, 11, 7, 0, 0]
+
+
+def test_waymo_reader(tmp_path):
+    rng = np.random.default_rng(0)
+    for sub in ("first", "second"):
+        (tmp_path / "val" / sub).mkdir(parents=True)
+    for t in range(3):
+        for sub in ("first", "second"):
+            n = 500
+            arr = np.zeros((n, 7), np.float32)
+            arr[:, 1:3] = rng.uniform(0, 3, (n, 2))
+            arr[:, 3:6] = rng.uniform(-40, 40, (n, 3))
+            arr[:, 6] = rng.integers(0, 23, n)
+            np.save(tmp_path / "val" / sub / f"{t:06d}.npy", arr)
+    from taseg_tpu.data.waymo import WaymoReader
+
+    r = WaymoReader(str(tmp_path), split="val")
+    assert len(r) == 3
+    s = r[0]
+    assert s["xyzret"].shape == (1000, 5)  # both returns concatenated
+    assert np.abs(s["xyzret"][:, 3:5]).max() <= 1.0  # tanh-normalized
+    assert s["labels"].max() < 23
