@@ -127,12 +127,20 @@ class Trainer:
         coords = jnp.asarray(arrays["point_coords"][0])
         feats = jnp.asarray(arrays["point_feats"][0])
         num = jnp.asarray(arrays["num_points"][0, 0])
-        points = PointSet(coords=coords, feats=feats, num=num)
-        topo = build_unet_topology(coords, num, self.caps, **self.topo_kwargs)
-        variables = self.model.init(
-            {"params": jax.random.PRNGKey(int(self.cfg.get("SEED", 0)))},
-            points, topo, False,
-        )
+        # jit the whole init: eager init dispatches hundreds of individual
+        # ops (minutes through the device tunnel); one compiled program is
+        # orders of magnitude faster and hits the persistent cache
+        def _init(coords, feats, num):
+            points = PointSet(coords=coords, feats=feats, num=num)
+            topo = build_unet_topology(
+                coords, num, self.caps, **self.topo_kwargs
+            )
+            return self.model.init(
+                {"params": jax.random.PRNGKey(int(self.cfg.get("SEED", 0)))},
+                points, topo, False,
+            )
+
+        variables = jax.jit(_init)(coords, feats, num)
         params = variables["params"]
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         self.logger.info(f"model parameters: {n_params / 1e6:.2f} M")

@@ -30,6 +30,13 @@ def parse_args():
     p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER,
                    default=[], help="dotted-path config overrides")
     p.add_argument("--eval", action="store_true", help="evaluate only")
+    p.add_argument("--tta", action="store_true", help="rotation-vote TTA")
+    p.add_argument("--votes_min", type=int, default=0)
+    p.add_argument("--votes_max", type=int, default=10)
+    p.add_argument("--save_path", default=None,
+                   help="write predictions (submission/pseudo-mask format)")
+    p.add_argument("--save_score", action="store_true",
+                   help="also write float logits per scan")
     p.add_argument("--pretrained_model", default=None)
     p.add_argument("--fix_random_seed", action="store_true")
     p.add_argument("--batch_size", type=int, default=None,
@@ -81,8 +88,14 @@ def main():
     trainer.resume_latest()
 
     if args.eval:
-        trainer.evaluate(class_names=getattr(
-            train_loader.reader, "class_names", None))
+        if args.tta or args.save_path:
+            trainer.evaluate_points(
+                tta_votes=(args.votes_max - args.votes_min) if args.tta else 0,
+                save_path=args.save_path,
+                save_score=args.save_score,
+            )
+        else:
+            trainer.evaluate_points()
     else:
         trainer.train(eval_interval=args.eval_interval)
 
