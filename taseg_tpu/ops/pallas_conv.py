@@ -21,14 +21,19 @@ unmatched inputs interleave a tile) are fixed up EXACTLY with a sparse XLA
 gather over just those entries; `has_overflow` counts them (typically 0).
 
 STATUS (measured, v5e): numerically exact (bf16 noise only, zero overflow
-on realistic rulebooks), but currently at parity with the XLA einsum path
-(~30 ms for a 131k x 32ch x 27-offset conv vs ~31 ms).  Profiling shows a
-~20 ms floor dominated by slab DMA inefficiency: with C=32 < 128 lanes the
-(8, 128)-tiled VMEM blocks waste 4x of each transfer.  Roadmap: pack four
-32-channel voxel rows per 128-lane VMEM row (selection then operates on
-packed rows), fuse consecutive layers per slab residency, and batch the
-one-hot selection across offsets sharing a window.  The exact XLA path
-(ops.sparse_conv) remains the default.
+on realistic rulebooks).  Best variant so far: the PACKED kernel below
+(four 32-ch voxel rows per 128-lane VMEM row, one-hot row pick + VPU
+group extract) at ~24 ms for a 131k x 32ch x 27-offset conv vs ~31 ms for
+the XLA einsum path (1.3x).  Latency accounting across variants (unpacked,
+packed, multi-offset-per-step) converges on DMA ISSUE LATENCY as the
+binding constraint: ~1 us per dynamically-indexed slab block, 54 blocks
+per step when every offset fetches its own window (a K=1 kernel moving
+only 33 MB still took ~20 ms).  Round-2 design: group the 27 offsets into
+three dx-bands whose windows overlap, fetching ONE wide window per band
+(6 DMAs/step instead of 54, each 8x larger), then run all 9 per-band
+one-hots against the resident window; fuse consecutive same-level convs
+per window residency.  The exact XLA path (ops.sparse_conv) remains the
+default until the kernel clearly wins.
 """
 
 from __future__ import annotations
@@ -145,6 +150,147 @@ def slab_conv_forward(
         out_shape=jax.ShapeDtypeStruct((v_out, c_out), jnp.float32),
         grid_spec=grid_spec,
     )(srb.blocks, srb.local, weight, feats, feats)
+
+    def fixup(out):
+        g = jnp.where(
+            (srb.overflow_rb >= 0)[:, :, None],
+            feats[jnp.clip(srb.overflow_rb, 0)],
+            0,
+        )
+        extra = jnp.einsum(
+            "kvi,kio->vo", g, weight.astype(feats.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return out + extra
+
+    out = jax.lax.cond(srb.has_overflow > 0, fixup, lambda o: o, out)
+    return out.astype(feats.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Packed variant: 4 voxel rows per 128-lane VMEM row.
+#
+# With C = 32 < 128 lanes, (S, 32) slab blocks waste 4x of every DMA (the
+# (8, 128) tiling pads lanes).  Packing feats (V, 32) -> (V/4, 128) makes
+# slab DMAs lane-dense.  Selection becomes: pick the packed row (one-hot
+# matmul), then the 32-lane group g = idx % 4 (static lane slice), summed
+# over the four groups with group-filtered one-hots:
+#
+#   out[t] += sum_g (onehot_g[t] @ slab_packed)[:, 32g:32g+32] @ W[k]
+# ---------------------------------------------------------------------------
+
+
+class PackedSlabRulebook(NamedTuple):
+    local_packed: jnp.ndarray  # (K, n_tiles, 1, tile) packed-row offset, -1
+    group: jnp.ndarray  # (K, n_tiles, 1, tile) int32 lane group (idx % 4)
+    blocks: jnp.ndarray  # (K, n_tiles) packed slab block index
+    overflow_rb: jnp.ndarray  # (K, V_out) exact fixup entries
+    has_overflow: jnp.ndarray
+
+
+def build_packed_slab_rulebook(
+    rb: jnp.ndarray, v_in: int, *, tile: int = TILE, slab: int = SLAB
+) -> PackedSlabRulebook:
+    """slab is in PACKED rows (covers 4*slab voxels per block)."""
+    k, v_out = rb.shape
+    assert v_out % tile == 0
+    n_tiles = v_out // tile
+    v_packed = v_in // 4
+    n_blocks = max(v_packed // slab, 1)
+    rbt = rb.reshape(k, n_tiles, tile)
+    valid = rbt >= 0
+    packed_row = jnp.where(valid, rbt // 4, 0)
+    big = jnp.int32(2**30)
+    row_min = jnp.min(jnp.where(valid, packed_row, big), axis=-1)
+    blocks = jnp.where(row_min >= big, 0, row_min // slab)
+    blocks = jnp.clip(blocks, 0, n_blocks - 2 if n_blocks > 1 else 0)
+    local = packed_row - blocks[:, :, None] * slab
+    in_win = valid & (local >= 0) & (local < 2 * slab)
+    local_flat = jnp.where(in_win, local, -1)[:, :, None, :]
+    group = jnp.where(in_win, rbt % 4, 0)[:, :, None, :]
+    overflow = valid & ~in_win
+    overflow_rb = jnp.where(overflow, rbt, -1).reshape(k, v_out)
+    return PackedSlabRulebook(
+        local_packed=local_flat, group=group, blocks=blocks,
+        overflow_rb=overflow_rb,
+        has_overflow=jnp.sum(overflow.astype(jnp.int32)),
+    )
+
+
+def _packed_conv_kernel(
+    blocks_ref,  # scalar prefetch (K, n_tiles)
+    local_ref,  # (1, 1, 1, T)
+    group_ref,  # (1, 1, 1, T)
+    w_ref,  # (1, C, Co)
+    slab0_ref,  # (S, 128) packed
+    slab1_ref,  # (S, 128)
+    out_ref,  # (T, Co)
+    *,
+    tile: int,
+    slab: int,
+    c_in: int,
+):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    loc = local_ref[0, 0, 0, :]
+    grp = group_ref[0, 0, 0, :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, slab), 1)
+    # ONE one-hot matmul per slab picks whole packed rows (T, 128)...
+    sel0 = (loc[:, None] == iota).astype(slab0_ref.dtype)
+    sel1 = (loc[:, None] == (iota + slab)).astype(slab0_ref.dtype)
+    picked = jnp.dot(
+        sel0, slab0_ref[:], preferred_element_type=jnp.float32
+    ) + jnp.dot(sel1, slab1_ref[:], preferred_element_type=jnp.float32)
+    # ...then the per-row lane group is extracted with cheap VPU masking
+    # (f32 arithmetic — bool minor-dim broadcasts are unsupported)
+    groups_per_row = 128 // c_in
+    ext = jnp.zeros((tile, c_in), jnp.float32)
+    for g in range(groups_per_row):
+        mask = (grp == g).astype(jnp.float32)
+        ext = ext + mask[:, None] * picked[:, g * c_in : (g + 1) * c_in]
+    out_ref[:] += jnp.dot(
+        ext.astype(w_ref.dtype), w_ref[0], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def packed_slab_conv_forward(
+    feats: jnp.ndarray,
+    weight: jnp.ndarray,
+    srb: PackedSlabRulebook,
+    *,
+    tile: int = TILE,
+    slab: int = SLAB,
+) -> jnp.ndarray:
+    """feats (V, C) with 128 % C == 0 and V % (4*slab) == 0."""
+    k, n_tiles, _, tile_ = srb.local_packed.shape
+    assert tile_ == tile
+    v_out = n_tiles * tile
+    v_in, c_in = feats.shape
+    c_out = weight.shape[-1]
+    assert 128 % c_in == 0 and v_in % (128 // c_in) == 0
+    packed = feats.reshape(v_in // (128 // c_in), 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, k),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, tile), lambda i, kk, b: (kk, i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, tile), lambda i, kk, b: (kk, i, 0, 0)),
+            pl.BlockSpec((1, c_in, c_out), lambda i, kk, b: (kk, 0, 0)),
+            pl.BlockSpec((slab, 128), lambda i, kk, b: (b[kk, i], 0)),
+            pl.BlockSpec((slab, 128), lambda i, kk, b: (b[kk, i] + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, c_out), lambda i, kk, b: (i, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_packed_conv_kernel, tile=tile, slab=slab, c_in=c_in),
+        out_shape=jax.ShapeDtypeStruct((v_out, c_out), jnp.float32),
+        grid_spec=grid_spec,
+    )(srb.blocks, srb.local_packed, srb.group, weight, packed, packed)
 
     def fixup(out):
         g = jnp.where(
