@@ -26,6 +26,7 @@ from .semantickitti.reader_ms import (
 )
 from .synthetic import SyntheticKittiReader, SyntheticMsKittiReader
 from .waymo import WaymoReader
+from .range_dataset import RangeViewPipeline, collate_range_batch
 from .voxel_dataset import (
     MsVoxelPipeline,
     MsVoxelSample,
@@ -165,6 +166,23 @@ class VoxelLoader:
         return order
 
     def _make_batch(self, idxs):
+        if isinstance(self.pipeline, RangeViewPipeline):
+            # range modality: pipeline takes an optional second scan for
+            # the mix augmentations
+            samples = []
+            for i in idxs:
+                other = (
+                    self.reader[int(self.rng.integers(0, len(self.reader)))]
+                    if self.pipeline.training else None
+                )
+                samples.append(self.pipeline(self.reader[int(i)], other))
+            while len(samples) < self.scans_per_batch:
+                samples.append(samples[len(samples) % len(idxs)])
+            shards = [
+                samples[r * self.scans_per_shard: (r + 1) * self.scans_per_shard]
+                for r in range(self.n_shards)
+            ]
+            return collate_range_batch(shards)
         samples = [
             self.pipeline(self.reader[int(i)], aug=self.fixed_aug)
             for i in idxs
@@ -222,10 +240,25 @@ def build_dataloader(
     n_shards: int,
     scans_per_shard: int,
     point_capacity: Optional[int] = None,
+    modality: str = "voxel",
 ) -> VoxelLoader:
-    """MODALITY x DATASET dispatch (voxel modality; range/fusion join as
-    their model families land)."""
+    """MODALITY x DATASET dispatch (reference pcseg/data/__init__.py:73-121)."""
     reader = build_reader(data_cfgs, training)
+    if modality == "range":
+        pipeline = RangeViewPipeline(
+            h=data_cfgs.get("H", 64),
+            w=data_cfgs.get("W", 2048),
+            training=training,
+            if_shift=data_cfgs.get("IF_RANGE_SHIFT", True),
+            if_mix=data_cfgs.get("IF_RANGE_MIX", True),
+            if_paste=data_cfgs.get("IF_RANGE_PASTE", True),
+            if_union=data_cfgs.get("IF_RANGE_UNION", True),
+        )
+        return VoxelLoader(
+            reader, pipeline,
+            n_shards=n_shards, scans_per_shard=scans_per_shard,
+            point_capacity=0, shuffle=training, drop_last=training,
+        )
     is_ms = str(data_cfgs.get("DATASET", "synthetic")).endswith("_ms")
     pipe_cls = MsVoxelPipeline if is_ms else VoxelPipeline
     kwargs = dict(

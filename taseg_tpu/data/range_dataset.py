@@ -127,7 +127,8 @@ class RangeViewPipeline:
         mask = proj.mask
         if self.training:
             if self.if_shift and self.rng.random() < 0.5:
-                split = int(self.rng.integers(100, self.w - 100))
+                lo = min(100, self.w // 4)
+                split = int(self.rng.integers(lo, max(self.w - lo, lo + 1)))
                 scan, label, mask = range_shift(scan, label, mask, split)
             if sample_b is not None and (self.if_mix or self.if_paste or self.if_union):
                 scan_b, label_b, proj_b = self._project(sample_b)
