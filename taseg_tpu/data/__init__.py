@@ -37,12 +37,13 @@ from .voxel_dataset import (
 
 def build_reader(data_cfgs, training: bool):
     dataset = data_cfgs.get("DATASET", "synthetic")
-    if dataset == "semantickitti":
+    if dataset in ("semantickitti", "scribblekitti"):
         return SemanticKittiReader(
             data_cfgs["DATA_PATH"],
             split="train" if training else "val",
             augment=data_cfgs.get("AUGMENT", "GlobalAugment"),
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
+            if_scribble=(dataset == "scribblekitti"),
         )
     if dataset == "semantickitti_ms":
         return MultiScanKittiReader(

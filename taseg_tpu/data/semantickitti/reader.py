@@ -52,11 +52,16 @@ class SemanticKittiReader:
         samples_per_epoch: int = -1,
         seed: int = 0,
         multiscan_labels: bool = False,
+        if_scribble: bool = False,
     ):
         self.root_path = Path(root_path)
         self.split = split
         self.augment = augment
         self.multiscan_labels = multiscan_labels
+        # ScribbleKITTI weak labels (reference semantickitti.py:115-119):
+        # same tree with 'SemanticKITTI'->'ScribbleKITTI' and
+        # 'velodyne'->'scribbles'
+        self.if_scribble = if_scribble
         self.class_names = CLASS_NAMES
         self.rng = np.random.default_rng(seed)
 
@@ -95,7 +100,16 @@ class SemanticKittiReader:
         if self.split == "test":
             labels = np.zeros(len(pts), np.int32)
         else:
-            label_path = Path(str(path).replace("velodyne", "labels")[:-4] + ".label")
+            if self.if_scribble:
+                label_path = Path(
+                    str(path)
+                    .replace("SemanticKITTI", "ScribbleKITTI")
+                    .replace("velodyne", "scribbles")[:-4] + ".label"
+                )
+            else:
+                label_path = Path(
+                    str(path).replace("velodyne", "labels")[:-4] + ".label"
+                )
             raw = np.fromfile(label_path, dtype=np.uint32)
             labels = remap_labels(raw, multiscan=self.multiscan_labels).astype(
                 np.int32

@@ -21,6 +21,9 @@ VOXEL_SEGMENTORS = {
     # with the 5th time-flag feature (reference minkunet_ms.py:385-458);
     # current-frame slicing at eval is host-side via point_mask metadata.
     "MinkUNetMs": MinkUNet,
+    # KD student/teacher are plain MinkUNets; the distillation wiring lives
+    # in parallel.kd.make_kd_train_step (teacher params outside the optimizer)
+    "MinkUNetMsKd": MinkUNet,
 }
 
 RANGE_SEGMENTORS = {
