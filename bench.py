@@ -68,7 +68,8 @@ def main():
     @jax.jit
     def fwd(params, coords, feats, num):
         pts = PointSet(coords=coords, feats=feats, num=num)
-        topo = build_unet_topology(coords, num, caps)
+        # inference: skip devox backward pair tables
+        topo = build_unet_topology(coords, num, caps, devox_pairs=False)
         return model.apply(params, pts, topo, False)
 
     out = fwd(params, coords, feats, num)

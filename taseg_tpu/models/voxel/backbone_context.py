@@ -93,6 +93,7 @@ def build_unet_topology(
     devox_strides: tuple[int, ...] = (1, 4, 16),
     integral_points: bool = True,
     point_voxel_strides: tuple[int, ...] = (),
+    devox_pairs: bool = True,
 ) -> UNetTopology:
     """Build the full MinkUNet topology from float point coords (P, 4).
 
@@ -161,7 +162,8 @@ def build_unet_topology(
             continue
         l = s.bit_length() - 1
         devox[s] = trilinear_table(
-            point_coords, valid, levels[l].coords, levels[l].num, s, bounds
+            point_coords, valid, levels[l].coords, levels[l].num, s, bounds,
+            with_pairs=devox_pairs,
         )
 
     point_vox = {}

@@ -173,6 +173,7 @@ def trilinear_table(
     num_voxels: jnp.ndarray,
     stride: int,
     bounds: GridBounds,
+    with_pairs: bool = True,
 ) -> DevoxTable:
     """8-corner indices + weights (reference `voxel_to_point` /
     `calc_ti_weights`, minkunet/utils.py:69-105 + torchsparse
@@ -201,7 +202,12 @@ def trilinear_table(
     w = jnp.where(idx >= 0, w, 0.0)
     w = w / (jnp.sum(w, axis=0, keepdims=True) + 1e-8)
 
-    pairs = build_segment_tables(idx.reshape(-1), voxel_coords.shape[0])
+    # the transposed pair layout is only needed for the backward pass;
+    # inference topologies skip its (8P)-row sort
+    pairs = (
+        build_segment_tables(idx.reshape(-1), voxel_coords.shape[0])
+        if with_pairs else None
+    )
     return DevoxTable(idx=idx, weights=w, pairs=pairs)
 
 

@@ -157,7 +157,10 @@ def make_eval_step(
         labels = batch.labels[0]
         num_points = batch.num_points[0, 0]
         points = PointSet(coords=coords, feats=feats, num=num_points)
-        topo = build_unet_topology(coords, num_points, caps, **(topo_kwargs or {}))
+        topo = build_unet_topology(
+            coords, num_points, caps, devox_pairs=False,
+            **(topo_kwargs or {}),
+        )
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, points, topo, False
         )
