@@ -48,6 +48,10 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    # optional stateful-loss statistics (e.g. EQLv2 gradient accumulators,
+    # reference pcseg/loss/eqlv2.py keeps them as mutable module state);
+    # None for stateless loss stacks
+    loss_state: Any = None
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -106,12 +110,18 @@ def make_train_step(
                 rngs={"dropout": shard_rng},
                 mutable=["batch_stats"],
             )
-            loss = criterion(logits, labels, pvalid)
-            return loss, updates["batch_stats"]
+            if state.loss_state is not None:
+                loss, new_loss_state = criterion(
+                    logits, labels, pvalid, state.loss_state
+                )
+            else:
+                loss = criterion(logits, labels, pvalid)
+                new_loss_state = None
+            return loss, (updates["batch_stats"], new_loss_state)
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (new_stats, new_loss_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         loss = jax.lax.pmean(loss, DATA_AXIS)
         # BN stats were psum-ed inside the model -> identical across shards
@@ -124,6 +134,7 @@ def make_train_step(
             batch_stats=new_stats,
             opt_state=new_opt,
             step=state.step + 1,
+            loss_state=new_loss_state,
         )
         metrics = {"loss": loss, "grad_norm": optax_global_norm(grads)}
         return new_state, metrics

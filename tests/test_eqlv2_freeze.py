@@ -59,3 +59,63 @@ def test_freeze_except_zeroes_frozen_updates():
     mask = trainable_mask(params, ["classifier_fusion"])
     assert mask["classifier_fusion"]["kernel"] is True
     assert mask["stem"]["kernel"] is False
+
+
+def test_train_step_threads_eqlv2_state():
+    import jax
+    import jax.numpy as jnp
+    from taseg_tpu.loss.eqlv2 import EqlV2State, eqlv2_loss
+    from taseg_tpu.models import MinkUNet, UNetCapacities
+    from taseg_tpu.models.voxel.backbone_context import build_unet_topology
+    from taseg_tpu.optim import build_optimizer
+    from taseg_tpu.ops import PointSet
+    from taseg_tpu.parallel import Batch, TrainState, make_mesh, make_train_step
+
+    mesh = make_mesh()
+    n = len(jax.devices())
+    rng = np.random.default_rng(0)
+    cap = 512
+    coords = np.zeros((n, cap, 4), np.float32)
+    feats = np.zeros((n, cap, 4), np.float32)
+    labels = np.zeros((n, cap), np.int32)
+    nums = np.zeros((n, 1), np.int32)
+    for r in range(n):
+        pts = np.unique(np.concatenate(
+            [np.floor(rng.uniform(0, 12, (400, 3))),
+             np.zeros((400, 1))], 1).astype(np.float32), axis=0)
+        m = len(pts)
+        coords[r, :m] = pts
+        feats[r, :m] = rng.normal(size=(m, 4))
+        labels[r, :m] = rng.integers(1, 20, m)
+        nums[r, 0] = m
+    batch = Batch(
+        point_coords=jnp.asarray(coords), point_feats=jnp.asarray(feats),
+        labels=jnp.asarray(labels), num_points=jnp.asarray(nums),
+    )
+    caps = UNetCapacities.for_points(cap)
+    model = MinkUNet(num_classes=20, cr=0.125, num_layer=(1,) * 8,
+                     dropout_p=0.0, axis_name="data")
+    pts0 = PointSet(coords=batch.point_coords[0], feats=batch.point_feats[0],
+                    num=batch.num_points[0, 0])
+    topo = build_unet_topology(pts0.coords, pts0.num, caps)
+    v = model.init({"params": jax.random.PRNGKey(0)}, pts0, topo, False)
+    tx = build_optimizer(
+        {"OPTIMIZER": "sgd", "LR": 0.01, "WEIGHT_DECAY": 0.0, "MOMENTUM": 0.9,
+         "SCHEDULER": "linear_warmup_with_cosdecay", "WARMUP_EPOCH": 1}, 5, 2)
+
+    def criterion(logits, labels, valid, state):
+        return eqlv2_loss(logits, labels, valid & (labels != 0), state,
+                          axis_name="data")
+
+    state = TrainState(
+        params=v["params"], batch_stats=v["batch_stats"],
+        opt_state=tx.init(v["params"]), step=jnp.int32(0),
+        loss_state=EqlV2State.init(20),
+    )
+    step = make_train_step(model, criterion, tx, caps, mesh, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(state.loss_state.pos_grad.sum()) > 0  # stats accumulated
+    s1 = float(state.loss_state.pos_grad.sum())
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    assert float(state.loss_state.pos_grad.sum()) > s1  # keeps accumulating
