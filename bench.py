@@ -29,6 +29,7 @@ def main():
     import jax.numpy as jnp
 
     from taseg_tpu.models import MinkUNet, UNetCapacities, build_unet_topology
+    from taseg_tpu.models.voxel.minkunet import unet_select_gps
     from taseg_tpu.ops import PointSet
     from taseg_tpu.data.synthetic import synthetic_scan
     from taseg_tpu.data.voxel_dataset import VoxelPipeline, collate_shard
@@ -55,6 +56,7 @@ def main():
     feats = jnp.asarray(arrays["point_feats"])
     num = jnp.asarray(arrays["num_points"][0])
     points = PointSet(coords=coords, feats=feats, num=num)
+    sel_gps = unet_select_gps(cr=1.0)
     topo = build_unet_topology(coords, num, caps)
     params = jax.jit(
         lambda c, f, n: model.init(
@@ -68,8 +70,11 @@ def main():
     @jax.jit
     def fwd(params, coords, feats, num):
         pts = PointSet(coords=coords, feats=feats, num=num)
-        # inference: skip devox backward pair tables
-        topo = build_unet_topology(coords, num, caps, devox_pairs=False)
+        # inference: skip devox backward pair tables; build selection-kernel
+        # tables so 3^3 convs run the Pallas resident-window path
+        topo = build_unet_topology(
+            coords, num, caps, devox_pairs=False, select_gps=sel_gps
+        )
         return model.apply(params, pts, topo, False)
 
     out = fwd(params, coords, feats, num)

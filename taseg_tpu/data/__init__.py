@@ -26,12 +26,16 @@ from .semantickitti.reader_ms import (
 )
 from .synthetic import SyntheticKittiReader, SyntheticMsKittiReader
 from .waymo import WaymoReader
+from .cylinder_dataset import CylinderPipeline
 from .range_dataset import RangeViewPipeline, collate_range_batch
 from .voxel_dataset import (
+    KdVoxelSample,
+    MsKdVoxelPipeline,
     MsVoxelPipeline,
     MsVoxelSample,
     VoxelPipeline,
     collate_batch,
+    collate_kd_batch,
 )
 
 
@@ -116,6 +120,13 @@ def build_reader(data_cfgs, training: bool):
             n_points=data_cfgs.get("N_RAW_POINTS", 60_000),
             seed=0 if training else 1,
         )
+    if dataset == "synthetic_ms_kd":
+        return SyntheticMsKittiReader(
+            length=data_cfgs.get("LENGTH", 16),
+            n_points=data_cfgs.get("N_RAW_POINTS", 60_000),
+            seed=0 if training else 1,
+            kd=True,
+        )
     raise NotImplementedError(f"dataset {dataset!r}")
 
 
@@ -145,6 +156,9 @@ class VoxelLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.epoch = 0
+        # KD-stage extras (set by build_dataloader for the kd pipeline)
+        self.teacher_capacity = None
+        self.kd_max_voxel = 3000
         # when set, every sample is transformed with this exact AugParams —
         # the deterministic TTA-vote path (reference
         # semantickitti_voxel.py:101-117)
@@ -188,6 +202,18 @@ class VoxelLoader:
             self.pipeline(self.reader[int(i)], aug=self.fixed_aug)
             for i in idxs
         ]
+        if samples and isinstance(samples[0], KdVoxelSample):
+            while len(samples) < self.scans_per_batch:
+                samples.append(samples[len(samples) % len(idxs)])
+            shards = [
+                samples[r * self.scans_per_shard: (r + 1) * self.scans_per_shard]
+                for r in range(self.n_shards)
+            ]
+            return collate_kd_batch(
+                shards, self.point_capacity,
+                self.teacher_capacity or self.point_capacity,
+                self.kd_max_voxel,
+            )
         if samples and isinstance(samples[0], MsVoxelSample):
             # the device consumes the fused clouds; keep the pair structure
             # in metadata for eval-side point_mask slicing
@@ -242,9 +268,24 @@ def build_dataloader(
     scans_per_shard: int,
     point_capacity: Optional[int] = None,
     modality: str = "voxel",
+    pipeline_kind: Optional[str] = None,
 ) -> VoxelLoader:
-    """MODALITY x DATASET dispatch (reference pcseg/data/__init__.py:73-121)."""
+    """MODALITY x DATASET dispatch (reference pcseg/data/__init__.py:73-121).
+
+    `pipeline_kind` picks the host pipeline explicitly ('voxel',
+    'cylinder', 'kd', 'range'); when None it is inferred from the modality
+    and dataset name."""
     reader = build_reader(data_cfgs, training)
+    dataset_name = str(data_cfgs.get("DATASET", "synthetic"))
+    if pipeline_kind is None:
+        if modality == "range":
+            pipeline_kind = "range"
+        elif dataset_name.endswith("_ms_kd"):
+            pipeline_kind = "kd"
+        else:
+            pipeline_kind = "voxel"
+    if pipeline_kind == "range":
+        modality = "range"
     if modality == "range":
         pipeline = RangeViewPipeline(
             h=data_cfgs.get("H", 64),
@@ -260,8 +301,26 @@ def build_dataloader(
             n_shards=n_shards, scans_per_shard=scans_per_shard,
             point_capacity=0, shuffle=training, drop_last=training,
         )
+    if pipeline_kind == "cylinder":
+        pipeline = CylinderPipeline(
+            grid=tuple(data_cfgs.get("GRID_SIZE", (480, 360, 32))),
+            training=training,
+        )
+        cap = point_capacity or int(
+            data_cfgs.get("NUM_POINTS", 80_000) * scans_per_shard
+        )
+        return VoxelLoader(
+            reader, pipeline,
+            n_shards=n_shards, scans_per_shard=scans_per_shard,
+            point_capacity=cap, shuffle=training, drop_last=training,
+        )
     is_ms = str(data_cfgs.get("DATASET", "synthetic")).endswith("_ms")
-    pipe_cls = MsVoxelPipeline if is_ms else VoxelPipeline
+    is_kd = pipeline_kind == "kd"
+    pipe_cls = (
+        MsKdVoxelPipeline if is_kd
+        else MsVoxelPipeline if is_ms
+        else VoxelPipeline
+    )
     kwargs = dict(
         voxel_size=data_cfgs.get("VOXEL_SIZE", 0.05),
         training=training,
@@ -271,13 +330,15 @@ def build_dataloader(
         if_jitter=data_cfgs.get("TRANSFORM_AUG", True),
         if_rotate=data_cfgs.get("ROTATE_AUG", True),
     )
-    if is_ms:
+    if is_ms or is_kd:
         kwargs["in_feature_dim"] = data_cfgs.get("IN_FEATURE_DIM", 5)
+    if is_kd:
+        kwargs["max_voxel"] = int(data_cfgs.get("MAX_VOXEL", 3000))
     pipeline = pipe_cls(**kwargs)
     cap = point_capacity or int(
         data_cfgs.get("NUM_POINTS", 80_000) * scans_per_shard
     )
-    return VoxelLoader(
+    loader = VoxelLoader(
         reader,
         pipeline,
         n_shards=n_shards,
@@ -286,3 +347,9 @@ def build_dataloader(
         shuffle=training,
         drop_last=training,
     )
+    if is_kd:
+        loader.teacher_capacity = int(
+            data_cfgs.get("TEACHER_NUM_POINTS", cap)
+        )
+        loader.kd_max_voxel = int(data_cfgs.get("MAX_VOXEL", 3000))
+    return loader

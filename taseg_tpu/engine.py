@@ -74,6 +74,19 @@ class Trainer:
         self.num_class = num_class
         self.model = build_segmentor(cfg.MODEL, num_class)
 
+        # modality x model dispatch (reference train.py builds everything
+        # through the same CLI for every family, docs/TASeg_Sem.md:3-37)
+        name = cfg.MODEL["NAME"]
+        modality = str(cfg.get("MODALITY", "voxel"))
+        if modality == "range":
+            self.kind = "range"
+        elif name == "MinkUNetMsKd":
+            self.kind = "kd"
+        elif name == "Cylinder_TS":
+            self.kind = "cylinder"
+        else:
+            self.kind = "voxel"
+
         # linear LR scaling (reference train.py:285)
         lr_per_sample = float(cfg.OPTIM.LR_PER_SAMPLE)
         scans_per_batch = train_loader.scans_per_batch
@@ -103,44 +116,183 @@ class Trainer:
             if cfg.MODEL["NAME"] in ("SPVCNN", "RPVNet")
             else {}
         )
-        self.train_step = make_train_step(
-            self.model, self.criterion, self.tx, self.caps, self.mesh,
-            topo_kwargs=self.topo_kwargs,
-        )
-        self.eval_step = make_eval_step(
-            self.model, self.caps, self.mesh, num_class,
-            topo_kwargs=self.topo_kwargs,
-        )
-
+        self._build_steps()
         self.state = self._init_state()
         self.start_epoch = 0
         self.ckptr = ocp.PyTreeCheckpointer()
         self.writer = MetricsWriter(self.output_dir / "metrics")
 
+    # ------------- modality / model step dispatch -------------------------
+    def _build_steps(self):
+        """Wire the SPMD train/eval steps for this config's modality+model
+        (reference: one CLI drives every family, train.py:128-268)."""
+        cfg, num_class = self.cfg, self.num_class
+        if self.kind == "voxel":
+            self.train_step = make_train_step(
+                self.model, self.criterion, self.tx, self.caps, self.mesh,
+                topo_kwargs=self.topo_kwargs,
+            )
+            self.eval_step = make_eval_step(
+                self.model, self.caps, self.mesh, num_class,
+                topo_kwargs=self.topo_kwargs,
+            )
+        elif self.kind == "cylinder":
+            from .models.voxel.cylinder3d import build_cylinder_topology
+
+            grid = tuple(cfg.DATA.get("GRID_SIZE", (480, 360, 32)))
+
+            def topo_fn(coords, num):
+                return build_cylinder_topology(coords, num, self.caps)
+
+            self.train_step = make_train_step(
+                self.model, self.criterion, self.tx, self.caps, self.mesh,
+                topology_fn=topo_fn,
+            )
+            self.eval_step = make_eval_step(
+                self.model, self.caps, self.mesh, num_class,
+                topology_fn=topo_fn,
+            )
+            del grid
+        elif self.kind == "kd":
+            from .parallel.kd import make_kd_train_step
+
+            teacher_caps = UNetCapacities.for_points(
+                self.train_loader.teacher_capacity
+                or self.train_loader.point_capacity
+            )
+            kd_step = make_kd_train_step(
+                self.model, self.criterion, self.tx, self.caps,
+                teacher_caps, self.mesh,
+                feat_kd_weight=float(
+                    cfg.MODEL.get("FEAT_KD_WEIGHT", 10.0)
+                ),
+            )
+            self.teacher_params = None
+            self.teacher_stats = None
+
+            def step(state, batch, rng):
+                assert self.teacher_params is not None, (
+                    "KD stage needs MODEL.TEACHER_CKPT (or call "
+                    "set_teacher) before training"
+                )
+                return kd_step(
+                    state, self.teacher_params, self.teacher_stats,
+                    batch, rng,
+                )
+
+            self.train_step = step
+            # eval runs the student alone on its fused cloud
+            self.eval_step = make_eval_step(
+                self.model, self.caps, self.mesh, num_class,
+            )
+        elif self.kind == "range":
+            from .loss.range import semkitti_class_weights
+            from .parallel.range_step import (
+                make_range_eval_step,
+                make_range_train_step,
+            )
+
+            lw = cfg.MODEL.get("LOSS_CONFIG", {})
+            self.train_step = make_range_train_step(
+                self.model, self.tx, self.mesh,
+                jnp.asarray(semkitti_class_weights()[: self.num_class]),
+                top_k_percent=float(lw.get("TOP_K_PERCENT", 1.0)),
+                ls_weight=float(lw.get("LS_WEIGHT", 3.0)),
+                bd_weight=float(lw.get("BD_WEIGHT", 1.0)),
+                aux=bool(cfg.MODEL.get("IF_AUX", False)),
+            )
+            self.eval_step = make_range_eval_step(
+                self.model, self.mesh, num_class
+            )
+        else:
+            raise NotImplementedError(self.kind)
+
+    def set_teacher(self, params, batch_stats):
+        """Install frozen teacher variables for the KD stage (replaces the
+        reference's ckpt key remapping stem->stem_gt..., minkunet_ms_kd.py:
+        680-717 — here the teacher is simply a second parameter tree)."""
+        self.teacher_params = params
+        self.teacher_stats = batch_stats
+
+    def load_teacher(self, path: str):
+        # the KD teacher shares the student architecture (reference loads
+        # the student ckpt into `*_gt` teacher keys, minkunet_ms_kd.py:
+        # 689-714) so the live state serves as the restore template
+        payload = self.ckptr.restore(
+            Path(path).absolute(),
+            item={"state": jax.device_get(self.state), "epoch": 0},
+        )
+        restored = payload["state"]
+        self.set_teacher(restored.params, restored.batch_stats)
+        self.logger.info(f"loaded frozen KD teacher from {path}")
+
+    def _to_batch(self, arrays: dict):
+        """arrays dict -> the step function's batch pytree, per kind."""
+        if self.kind == "range":
+            from .parallel.range_step import RangeBatch
+
+            return RangeBatch(
+                scan=jnp.asarray(arrays["scan"]),
+                label=jnp.asarray(arrays["label"]),
+                mask=jnp.asarray(arrays["mask"]),
+            )
+        if self.kind == "kd" and "student" in arrays:
+            from .parallel.kd import KdBatch
+
+            return KdBatch(
+                student=batch_from_arrays(arrays["student"]),
+                teacher=batch_from_arrays(arrays["teacher"]),
+                kd_student_idx=jnp.asarray(arrays["kd_student_idx"]),
+                kd_teacher_idx=jnp.asarray(arrays["kd_teacher_idx"]),
+                kd_mask=jnp.asarray(arrays["kd_mask"]),
+            )
+        return batch_from_arrays(arrays)
+
+    def _to_eval_batch(self, arrays: dict):
+        if self.kind == "kd" and "student" in arrays:
+            return batch_from_arrays(arrays["student"])
+        return self._to_batch(arrays)
+
     def _init_state(self) -> TrainState:
         loader = self.train_loader
         arrays, _ = next(iter(loader))
-        # init on shard-local shapes
-        from .ops import PointSet
-        from .models.voxel.backbone_context import build_unet_topology
+        rng = {"params": jax.random.PRNGKey(int(self.cfg.get("SEED", 0)))}
 
-        coords = jnp.asarray(arrays["point_coords"][0])
-        feats = jnp.asarray(arrays["point_feats"][0])
-        num = jnp.asarray(arrays["num_points"][0, 0])
-        # jit the whole init: eager init dispatches hundreds of individual
-        # ops (minutes through the device tunnel); one compiled program is
-        # orders of magnitude faster and hits the persistent cache
-        def _init(coords, feats, num):
-            points = PointSet(coords=coords, feats=feats, num=num)
-            topo = build_unet_topology(
-                coords, num, self.caps, **self.topo_kwargs
-            )
-            return self.model.init(
-                {"params": jax.random.PRNGKey(int(self.cfg.get("SEED", 0)))},
-                points, topo, False,
-            )
+        if self.kind == "range":
+            scan = jnp.asarray(arrays["scan"][0])
+            variables = jax.jit(
+                lambda s: self.model.init(rng, s, False)
+            )(scan)
+        else:
+            # init on shard-local shapes
+            from .ops import PointSet
+            from .models.voxel.backbone_context import build_unet_topology
 
-        variables = jax.jit(_init)(coords, feats, num)
+            if self.kind == "kd" and "student" in arrays:
+                arrays = arrays["student"]
+            coords = jnp.asarray(arrays["point_coords"][0])
+            feats = jnp.asarray(arrays["point_feats"][0])
+            num = jnp.asarray(arrays["num_points"][0, 0])
+
+            # jit the whole init: eager init dispatches hundreds of
+            # individual ops (minutes through the device tunnel); one
+            # compiled program is orders of magnitude faster and hits the
+            # persistent cache
+            def _init(coords, feats, num):
+                points = PointSet(coords=coords, feats=feats, num=num)
+                if self.kind == "cylinder":
+                    from .models.voxel.cylinder3d import (
+                        build_cylinder_topology,
+                    )
+
+                    topo = build_cylinder_topology(coords, num, self.caps)
+                else:
+                    topo = build_unet_topology(
+                        coords, num, self.caps, **self.topo_kwargs
+                    )
+                return self.model.init(rng, points, topo, False)
+
+            variables = jax.jit(_init)(coords, feats, num)
         params = variables["params"]
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         self.logger.info(f"model parameters: {n_params / 1e6:.2f} M")
@@ -227,7 +379,7 @@ class Trainer:
         timer = StepTimer()
         losses = []
         for it, (arrays, _meta) in enumerate(self.train_loader):
-            batch = batch_from_arrays(arrays)
+            batch = self._to_batch(arrays)
             timer.data_done()
             self.state, metrics = self.train_step(
                 self.state, batch, jax.random.fold_in(rng, it)
@@ -293,6 +445,12 @@ class Trainer:
         rotation votes are softmax-summed per scan (reference
         train.py:452-611) and predictions can be written as submission /
         pseudo-mask label files."""
+        if self.kind == "range":
+            raise NotImplementedError(
+                "raw-point eval for the range modality goes through the "
+                "projected-pixel evaluate() + KNN post-processing "
+                "(models.range2d.postproc)"
+            )
         loader = self.val_loader
         hist = np.zeros((self.num_class, self.num_class), np.int64)
         n_scans = 0
@@ -307,7 +465,7 @@ class Trainer:
 
         if tta_votes <= 0:
             for arrays, meta in loader:
-                batch = batch_from_arrays(arrays)
+                batch = self._to_eval_batch(arrays)
                 _, logits = self.eval_step(
                     self.state.params, self.state.batch_stats, batch
                 )
@@ -349,7 +507,7 @@ class Trainer:
                 for vote in range(tta_votes):
                     loader.fixed_aug = AugParams.tta_vote(vote, rng=base_rng)
                     arrays, meta = loader._make_batch(idxs)
-                    batch = batch_from_arrays(arrays)
+                    batch = self._to_eval_batch(arrays)
                     _, logits = self.eval_step(
                         self.state.params, self.state.batch_stats, batch
                     )
@@ -387,7 +545,7 @@ class Trainer:
         t0 = time.perf_counter()
         n_batches = 0
         for arrays, _meta in self.val_loader:
-            batch = batch_from_arrays(arrays)
+            batch = self._to_eval_batch(arrays)
             h, _logits = self.eval_step(
                 self.state.params, self.state.batch_stats, batch
             )

@@ -2,6 +2,7 @@
 minus the eval()-based construction — here it's an explicit dict)."""
 
 from .fusion import SPVCNN
+from .fusion.rpvnet import RPVNet
 from .range2d import CENet, FIDNet, RangeNet, SalsaNext
 from .voxel import (
     CylinderTS,
@@ -15,8 +16,7 @@ from .voxel import (
 VOXEL_SEGMENTORS = {
     "MinkUNet": MinkUNet,
     "SPVCNN": SPVCNN,
-    "MinkUNetMsMm": MinkUNetMsMm,  # TIAF (driven by a dedicated step fn)
-    "Cylinder_TS": CylinderTS,     # polar grid (own topology builder)
+    "RPVNet": RPVNet,
     # FSA model: identical backbone consuming the fused multi-scan cloud
     # with the 5th time-flag feature (reference minkunet_ms.py:385-458);
     # current-frame slicing at eval is host-side via point_mask metadata.
@@ -33,13 +33,35 @@ RANGE_SEGMENTORS = {
     "RangeNet": RangeNet,
 }
 
-SEGMENTORS = {**VOXEL_SEGMENTORS, **RANGE_SEGMENTORS}
+SEGMENTORS = {
+    **VOXEL_SEGMENTORS,
+    **RANGE_SEGMENTORS,
+    "Cylinder_TS": CylinderTS,     # polar grid (own topology builder)
+    "MinkUNetMsMm": MinkUNetMsMm,  # TIAF (driven by a dedicated step fn)
+}
 
 
 def build_segmentor(model_cfgs, num_class: int):
     """Construct a segmentor flax module from a MODEL config block
     (schema mirrors reference `tools/cfgs/**` MODEL sections)."""
     name = model_cfgs["NAME"]
+    if name == "Cylinder_TS":
+        return CylinderTS(
+            num_classes=num_class,
+            in_dim=model_cfgs.get("IN_FEATURE_DIM", 9),
+            init_size=model_cfgs.get("INIT_SIZE", 32),
+            axis_name="data" if model_cfgs.get("IF_DIST", False) else None,
+        )
+    if name == "MinkUNetMsMm":
+        return MinkUNetMsMm(
+            num_classes=num_class,
+            in_dim=model_cfgs.get("IN_FEATURE_DIM", 5),
+            cr=model_cfgs.get("cr", 1.0),
+            fov_cr=model_cfgs.get("FOV_CR", 0.5),
+            image_base=model_cfgs.get("IMAGE_BASE", 32),
+            axis_name="data" if model_cfgs.get("IF_DIST", False) else None,
+            ensemble_type=model_cfgs.get("ENSEMBLE_TYPE", "replace"),
+        )
     if name in VOXEL_SEGMENTORS:
         cls = VOXEL_SEGMENTORS[name]
         return cls(

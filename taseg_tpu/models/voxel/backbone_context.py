@@ -32,6 +32,7 @@ from ...ops import (
     trilinear_table,
     unique_coords,
 )
+from ...ops.select_conv import build_select_tables, group_factor
 
 
 @dataclass(frozen=True)
@@ -44,18 +45,26 @@ class UNetCapacities:
     points: int
     voxels: tuple[int, ...]
 
-    # measured stride-level occupancy fractions on SemanticKITTI-scale
-    # clouds (~119k voxels @0.05m): [1.0, ~0.38, ~0.13, ~0.045, ~0.015];
-    # schedule adds ~30% headroom per level
-    DEFAULT_SCHEDULE = (1.0, 0.5, 0.18, 0.07, 0.03)
+    # measured stride-level occupancy fractions on raycast-LiDAR clouds
+    # relative to the padded point capacity (120k points -> 92k voxels
+    # @0.05m): [0.71, 0.49, 0.18, 0.072, 0.026]; schedule adds ~15-20%
+    # headroom per level.  Overflow (LevelTopo.num > capacity) is surfaced
+    # as telemetry by the engine, never silently ignored.
+    DEFAULT_SCHEDULE = (0.85, 0.60, 0.22, 0.09, 0.035)
 
     @staticmethod
     def for_points(
         points: int, num_levels: int = 5, schedule=None
     ) -> "UNetCapacities":
         sched = schedule or UNetCapacities.DEFAULT_SCHEDULE
+        # capacities are rounded to 256 (the select-conv output tile)
         voxels = tuple(
-            max(512, int(points * sched[min(l, len(sched) - 1)]))
+            max(
+                512,
+                (int(points * sched[min(l, len(sched) - 1)]) + 255)
+                // 256
+                * 256,
+            )
             for l in range(num_levels)
         )
         return UNetCapacities(points=points, voxels=voxels)
@@ -68,6 +77,10 @@ class LevelTopo:
     rb_k3: jnp.ndarray  # (27, V_l) same-level 3^3 rulebook
     rb_down: jnp.ndarray | None  # (8, V_l): fine input idx per coarse output
     rb_up: jnp.ndarray | None  # (8, V_{l-1}): coarse input idx per fine out
+    # gp (= 128 // C_in pack factor) -> SelectTables for the Pallas
+    # selection conv over rb_k3 (ops.select_conv); empty when the topology
+    # was built without `select_gps`
+    sel_k3: dict = struct.field(default_factory=dict)
 
 
 @struct.dataclass
@@ -94,6 +107,7 @@ def build_unet_topology(
     integral_points: bool = True,
     point_voxel_strides: tuple[int, ...] = (),
     devox_pairs: bool = True,
+    select_gps: tuple = (),
 ) -> UNetTopology:
     """Build the full MinkUNet topology from float point coords (P, 4).
 
@@ -118,12 +132,28 @@ def build_unet_topology(
     )
     point_tables = build_segment_tables(inverse, caps.voxels[0])
 
+    def _sel_tables(rb, v_in, level):
+        """Selection-kernel tables per pack factor for this level; the
+        gp values come from the model's channel plan (`select_gps`), and a
+        table is only built when the packed array fits comfortably in VMEM
+        (the kernel keeps it resident)."""
+        out = {}
+        gps = select_gps[level] if level < len(select_gps) else ()
+        for gp in gps:
+            if (v_in // gp) * 128 * 2 > 11 * 1024 * 1024:
+                continue  # resident packed array would not fit in VMEM
+            out[gp] = build_select_tables(rb, v_in, 128 // gp)
+        return out
+
     levels = []
     rb_k3 = build_rulebook(
         coords0, num0, coords0, num0, kernel_offsets(3, stride=1), bounds
     )
     levels.append(
-        LevelTopo(coords=coords0, num=num0, rb_k3=rb_k3, rb_down=None, rb_up=None)
+        LevelTopo(
+            coords=coords0, num=num0, rb_k3=rb_k3, rb_down=None, rb_up=None,
+            sel_k3=_sel_tables(rb_k3, coords0.shape[0], 0),
+        )
     )
 
     prev_coords, prev_num = coords0, num0
@@ -147,6 +177,7 @@ def build_unet_topology(
             LevelTopo(
                 coords=coords_l, num=num_l, rb_k3=rb_k3,
                 rb_down=rb_down, rb_up=rb_up,
+                sel_k3=_sel_tables(rb_k3, coords_l.shape[0], l),
             )
         )
         prev_coords, prev_num = coords_l, num_l

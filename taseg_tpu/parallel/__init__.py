@@ -79,13 +79,15 @@ def make_train_step(
     *,
     donate: bool = True,
     topo_kwargs: Optional[dict] = None,
+    topology_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted SPMD training step.
 
     Per shard: build sparse topology from local coords, forward + loss,
     grad; then `pmean` grads/loss over the mesh axis and apply the optax
     update identically on every shard (params stay replicated).
-    """
+    `topology_fn(coords, num) -> topo` overrides the default UNet topology
+    (e.g. Cylinder3D's asymmetric-kernel builder)."""
 
     def local_step(state: TrainState, batch: Batch, rng):
         # shard_map delivers local blocks with the leading shard axis of
@@ -96,7 +98,12 @@ def make_train_step(
         num_points = batch.num_points[0, 0]
 
         points = PointSet(coords=coords, feats=feats, num=num_points)
-        topo = build_unet_topology(coords, num_points, caps, **(topo_kwargs or {}))
+        if topology_fn is not None:
+            topo = topology_fn(coords, num_points)
+        else:
+            topo = build_unet_topology(
+                coords, num_points, caps, **(topo_kwargs or {})
+            )
         pvalid = points.valid_mask()
 
         shard_rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
@@ -157,10 +164,14 @@ def optax_global_norm(tree) -> jnp.ndarray:
 def make_eval_step(
     model, caps: UNetCapacities, mesh: Mesh, num_classes: int,
     *, topo_kwargs: Optional[dict] = None,
+    topology_fn: Optional[Callable] = None,
+    return_logits: bool = True,
 ) -> Callable:
     """Jitted SPMD eval step: per-point argmax -> confusion histogram,
     psum-ed over the mesh (replaces merge_results_dist,
-    common_utils.py:200-221)."""
+    common_utils.py:200-221).  `return_logits=False` skips the (large)
+    device->host logits transfer for plain mIoU eval — the reference also
+    only materializes predictions when saving (train.py:539-540)."""
 
     def local_eval(params, batch_stats, batch: Batch):
         coords = batch.point_coords[0]
@@ -168,10 +179,13 @@ def make_eval_step(
         labels = batch.labels[0]
         num_points = batch.num_points[0, 0]
         points = PointSet(coords=coords, feats=feats, num=num_points)
-        topo = build_unet_topology(
-            coords, num_points, caps, devox_pairs=False,
-            **(topo_kwargs or {}),
-        )
+        if topology_fn is not None:
+            topo = topology_fn(coords, num_points)
+        else:
+            topo = build_unet_topology(
+                coords, num_points, caps, devox_pairs=False,
+                **(topo_kwargs or {}),
+            )
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, points, topo, False
         )
@@ -179,7 +193,9 @@ def make_eval_step(
         valid = points.valid_mask() & (labels != 0)
         hist = confusion_hist(pred, labels, valid, num_classes)
         hist = jax.lax.psum(hist, DATA_AXIS)
-        return hist, logits[None]  # (1, P, C) -> stacked (R, P, C) globally
+        if return_logits:
+            return hist, logits[None]  # (1,P,C) -> stacked (R,P,C) globally
+        return hist, pred[None]
 
     ev = jax.shard_map(
         local_eval,

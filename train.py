@@ -68,14 +68,22 @@ def main():
         cfg.OPTIM.get("BATCH_SIZE_PER_GPU", 2)
     )
 
+    # MODALITY x MODEL dispatch (reference pcseg/data/__init__.py:73-121 +
+    # docs/TASeg_Sem.md staged pipeline: every family drives through here)
+    modality = str(cfg.get("MODALITY", "voxel"))
+    pipeline_kind = (
+        "cylinder" if cfg.MODEL["NAME"] == "Cylinder_TS" else None
+    )
     train_loader = build_dataloader(
         cfg.DATA, training=True, n_shards=n_shards,
         scans_per_shard=scans_per_shard,
+        modality=modality, pipeline_kind=pipeline_kind,
     )
     val_loader = build_dataloader(
         cfg.DATA, training=False, n_shards=n_shards,
         scans_per_shard=scans_per_shard,
         point_capacity=train_loader.point_capacity,
+        modality=modality, pipeline_kind=pipeline_kind,
     )
 
     trainer = Trainer(
@@ -85,6 +93,8 @@ def main():
     )
     if args.pretrained_model:
         trainer.load_pretrained(args.pretrained_model)
+    if cfg.MODEL.get("TEACHER_CKPT"):
+        trainer.load_teacher(cfg.MODEL["TEACHER_CKPT"])
     trainer.resume_latest()
 
     if args.eval:
