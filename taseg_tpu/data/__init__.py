@@ -280,6 +280,8 @@ def build_dataloader(
     if pipeline_kind is None:
         if modality == "range":
             pipeline_kind = "range"
+        elif modality == "cylinder":
+            pipeline_kind = "cylinder"
         elif dataset_name.endswith("_ms_kd"):
             pipeline_kind = "kd"
         else:
@@ -303,7 +305,8 @@ def build_dataloader(
         )
     if pipeline_kind == "cylinder":
         pipeline = CylinderPipeline(
-            grid=tuple(data_cfgs.get("GRID_SIZE", (480, 360, 32))),
+            grid=tuple(data_cfgs.get("GRID_SIZE",
+                data_cfgs.get("CYLINDER_GRID_SIZE", (480, 360, 32)))),
             training=training,
         )
         cap = point_capacity or int(

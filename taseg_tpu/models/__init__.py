@@ -8,6 +8,7 @@ from .voxel import (
     CylinderTS,
     MinkUNet,
     MinkUNetMsMm,
+    MinkUNetMsMmNus,
     UNetCapacities,
     UNetTopology,
     build_unet_topology,
@@ -38,6 +39,7 @@ SEGMENTORS = {
     **RANGE_SEGMENTORS,
     "Cylinder_TS": CylinderTS,     # polar grid (own topology builder)
     "MinkUNetMsMm": MinkUNetMsMm,  # TIAF (driven by a dedicated step fn)
+    "MinkUNetMsMmNus": MinkUNetMsMmNus,  # 6-camera nuScenes TIAF
 }
 
 
@@ -52,8 +54,9 @@ def build_segmentor(model_cfgs, num_class: int):
             init_size=model_cfgs.get("INIT_SIZE", 32),
             axis_name="data" if model_cfgs.get("IF_DIST", False) else None,
         )
-    if name == "MinkUNetMsMm":
-        return MinkUNetMsMm(
+    if name in ("MinkUNetMsMm", "MinkUNetMsMmNus"):
+        cls = MinkUNetMsMmNus if name.endswith("Nus") else MinkUNetMsMm
+        return cls(
             num_classes=num_class,
             in_dim=model_cfgs.get("IN_FEATURE_DIM", 5),
             cr=model_cfgs.get("cr", 1.0),

@@ -1,7 +1,12 @@
 from .backbone_context import UNetCapacities, UNetTopology, build_unet_topology
 from .cylinder3d import CylinderTS, CylTopology, build_cylinder_topology
 from .minkunet import MinkUNet
-from .minkunet_mm import MinkUNetMsMm, SparseEncoderFov, UNet2D
+from .minkunet_mm import (
+    MinkUNetMsMm,
+    MinkUNetMsMmNus,
+    SparseEncoderFov,
+    UNet2D,
+)
 
 __all__ = [
     "CylinderTS",

@@ -232,3 +232,12 @@ class MinkUNetMsMm(nn.Module):
             "image_point_logits": img_point_logits,
             "fov_point_logits": img_lidar_logits,
         }
+
+
+class MinkUNetMsMmNus(MinkUNetMsMm):
+    """nuScenes 6-camera TIAF variant (reference minkunet_ms_mm_nus.py:190).
+
+    The fusion architecture is identical to MinkUNetMsMm: `images` stacks
+    the six cameras x selected sweeps as one (B_img, H, W, C) tensor and
+    `fov_rowcol` rows arrive pre-offset by image index from the nuScenes
+    multi-view reader, so multi-camera support needs no new modules."""

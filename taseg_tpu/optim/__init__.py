@@ -126,6 +126,7 @@ def build_optimizer(
     lr = float(optim_cfg["LR"])
     wd = float(optim_cfg.get("WEIGHT_DECAY", 0.0))
     momentum = float(optim_cfg.get("MOMENTUM", 0.9))
+    nesterov = bool(optim_cfg.get("NESTEROV", False))
     schedule = build_schedule(optim_cfg, iters_per_epoch, total_epochs)
 
     def lr_schedule(step):
@@ -135,17 +136,24 @@ def build_optimizer(
         # torch SGD weight_decay is L2 added to the gradient (not decoupled)
         tx = optax.chain(
             optax.add_decayed_weights(wd) if wd else optax.identity(),
-            optax.sgd(learning_rate=lr_schedule, momentum=momentum),
+            optax.sgd(
+                learning_rate=lr_schedule, momentum=momentum,
+                nesterov=nesterov,
+            ),
         )
     elif name == "sgd_fc":
         base = optax.chain(
             optax.add_decayed_weights(wd) if wd else optax.identity(),
-            optax.sgd(learning_rate=lr_schedule, momentum=momentum),
+            optax.sgd(
+                learning_rate=lr_schedule, momentum=momentum,
+                nesterov=nesterov,
+            ),
         )
         head = optax.chain(
             optax.add_decayed_weights(wd) if wd else optax.identity(),
             optax.sgd(
-                learning_rate=lambda s: 10.0 * lr_schedule(s), momentum=momentum
+                learning_rate=lambda s: 10.0 * lr_schedule(s),
+                momentum=momentum, nesterov=nesterov,
             ),
         )
 

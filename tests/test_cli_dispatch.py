@@ -74,3 +74,20 @@ def test_cli_kd_staged(monkeypatch, tmp_path):
         if "kd" in str(p)
     ]
     assert kd_ckpts
+
+
+def test_all_configs_load_and_construct():
+    """Every shipped experiment config parses and its model constructs
+    (config-surface parity with the reference tools/cfgs/** tree)."""
+    from taseg_tpu.models import build_segmentor
+    from taseg_tpu.utils.config import load_config
+
+    cfgs = sorted((REPO / "tools/cfgs").rglob("*.yaml"))
+    assert len(cfgs) >= 30
+    for path in cfgs:
+        cfg = load_config(str(path))
+        assert cfg.get("MODALITY") in ("voxel", "range", "cylinder", "fusion")
+        model = build_segmentor(
+            cfg.MODEL, int(cfg.MODEL.get("NUM_CLASS", 20))
+        )
+        assert model is not None
