@@ -139,6 +139,7 @@ class NuscenesReader:
             "xyzret": pts.astype(np.float32),
             "labels": labels,
             "path": str(info.get("lidar_path", index)),
+            "token": str(info.get("lidar_token", info.get("token", index))),
         }
 
 
@@ -310,4 +311,5 @@ class NuscenesMsReader(NuscenesReader):
             "xyzret_ms": fused,
             "labels_ms": fused_labels,
             "path": str(info.get("lidar_path", i)),
+            "token": str(info.get("sample_data_token", info.get("token", i))),
         }

@@ -30,6 +30,9 @@ class VoxelSample:
     raw_labels: np.ndarray  # (N_raw,) train ids of the raw points
     num_raw_points: int
     name: str
+    # optional benchmark identity (nuScenes sample_data token); None for
+    # path-addressed datasets like SemanticKITTI
+    token: str = None
 
 
 class VoxelPipeline:
@@ -79,6 +82,7 @@ class VoxelPipeline:
             raw_labels=labels,
             num_raw_points=len(pts),
             name=sample.get("path", ""),
+            token=sample.get("token"),
         )
 
 
@@ -163,6 +167,7 @@ class MsVoxelPipeline:
         frame = self._quantize(pts, labels, origin)
         fused = self._quantize(pts_ms, labels_ms, origin)
         frame.name = fused.name = sample.get("path", "")
+        frame.token = fused.token = sample.get("token")
         # current-frame rows lead the fused cloud and always survive the
         # clamp (they define the min bound); the count equals the frame size
         return MsVoxelSample(
@@ -282,6 +287,7 @@ class MsKdVoxelPipeline(MsVoxelPipeline):
         fused = self._quantize(pts_ms, labels_ms, origin)
         teacher = self._quantize(pts_gt, labels_gt, origin)
         frame.name = fused.name = teacher.name = sample.get("path", "")
+        frame.token = fused.token = teacher.token = sample.get("token")
         student = MsVoxelSample(
             frame=frame, fused=fused, num_frame_points=len(pts)
         )

@@ -107,6 +107,9 @@ class Trainer:
             loss_cfg.get("LOSS_WEIGHTS", [1.0, 1.0]),
             ignore_index=int(cfg.MODEL.get("IGNORE_LABEL", 0)),
             label_smoothing=float(cfg.MODEL.get("LABEL_SMOOTHING", 0.0)),
+            gs_groups=loss_cfg.get("GS_GROUPS"),
+            gs_fg_classes=loss_cfg.get("GS_FG_CLASSES"),
+            axis_name="data" if cfg.MODEL.get("IF_DIST", False) else None,
         )
 
         self.caps = UNetCapacities.for_points(train_loader.point_capacity)
@@ -119,6 +122,7 @@ class Trainer:
         self._build_steps()
         self.state = self._init_state()
         self.start_epoch = 0
+        self._capacity_overflows = 0
         self.ckptr = ocp.PyTreeCheckpointer()
         self.writer = MetricsWriter(self.output_dir / "metrics")
 
@@ -301,6 +305,9 @@ class Trainer:
             batch_stats=variables.get("batch_stats", {}),
             opt_state=self.tx.init(params),
             step=jnp.int32(0),
+            # stateful-loss statistics (EQLv2 gradient accumulators) ride
+            # in the train state and are psum-synced inside the loss
+            loss_state=self.criterion.init_state(self.num_class),
         )
 
     # ---------------- checkpointing (reference train.py:326-362) ---------
@@ -339,6 +346,7 @@ class Trainer:
             batch_stats=restored.batch_stats,
             opt_state=restored.opt_state,
             step=jnp.asarray(restored.step),
+            loss_state=getattr(restored, "loss_state", None),
         )
         self.start_epoch = int(payload["epoch"]) + 1
         self.logger.info(
@@ -375,6 +383,25 @@ class Trainer:
         self.logger.info(f"pretrained load: {loaded} matched, {skipped} kept")
 
     # ---------------- loops ---------------------------------------------
+    def _check_capacity(self, level_nums: np.ndarray):
+        """Surface sparse-capacity overflow (LevelTopo.num > capacity):
+        rulebook rows beyond a level's static capacity are dropped, so an
+        undersized capacity silently degrades mIoU — log it loudly and
+        keep a counter for the epoch summary."""
+        caps = self.caps.voxels
+        for l, num in enumerate(level_nums.reshape(-1)[: len(caps)]):
+            if int(num) > caps[l]:
+                self._capacity_overflows += 1
+                if self._capacity_overflows <= 5 or (
+                    self._capacity_overflows % 100 == 0
+                ):
+                    self.logger.warning(
+                        f"CAPACITY OVERFLOW level {l}: {int(num)} voxels > "
+                        f"capacity {caps[l]} — excess voxels are dropped; "
+                        f"raise UNetCapacities schedule or NUM_POINTS "
+                        f"({self._capacity_overflows} total overflows)"
+                    )
+
     def train_one_epoch(self, epoch: int, rng) -> dict:
         timer = StepTimer()
         losses = []
@@ -387,6 +414,8 @@ class Trainer:
             loss = float(metrics["loss"])
             timer.step_done()
             losses.append(loss)
+            if "level_nums" in metrics:
+                self._check_capacity(np.asarray(metrics["level_nums"]))
             step = int(self.state.step)
             self.writer.scalar("train/loss", loss, step)
             self.writer.scalar(
@@ -432,6 +461,25 @@ class Trainer:
                 yield ms.frame, pt_logits
             else:
                 yield s, pt_logits
+
+    def _save_scan(self, save_path, sample, pred, logits=None):
+        """Write one scan's predictions in the dataset's submission format
+        (SemanticKITTI .label files or nuScenes uint8 _lidarseg.bin,
+        reference train.py:476-559)."""
+        if getattr(sample, "token", None) is not None:
+            from .utils.submission import (
+                save_nuscenes_predictions,
+                write_nuscenes_submission_json,
+            )
+
+            save_nuscenes_predictions(save_path, sample.token, pred)
+            write_nuscenes_submission_json(save_path)
+            return
+        from .utils.submission import save_logits, save_predictions
+
+        if logits is not None:
+            save_logits(save_path, sample.name, logits)
+        save_predictions(save_path, sample.name, pred)
 
     def evaluate_points(
         self,
@@ -484,12 +532,10 @@ class Trainer:
                             minlength=self.num_class**2,
                         ).reshape(self.num_class, self.num_class)
                         if save_path is not None:
-                            from .utils.submission import (
-                                save_logits, save_predictions,
+                            self._save_scan(
+                                save_path, sample, pred,
+                                pt_logits[:n] if save_score else None,
                             )
-                            if save_score:
-                                save_logits(save_path, sample.name, pt_logits[:n])
-                            save_predictions(save_path, sample.name, pred)
                         n_scans += 1
         else:
             from .data.augment import AugParams
@@ -531,9 +577,7 @@ class Trainer:
                         minlength=self.num_class**2,
                     ).reshape(self.num_class, self.num_class)
                     if save_path is not None:
-                        from .utils.submission import save_predictions
-
-                        save_predictions(save_path, name, pred)
+                        self._save_scan(save_path, sample, pred, None)
                     n_scans += 1
 
         miou = miou_from_hist(hist, ignore_index=0)

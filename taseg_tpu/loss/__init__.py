@@ -128,6 +128,9 @@ class Losses:
         cls_num_pts: Optional[Sequence[float]] = None,
         class_weight=None,
         knn: int = 10,
+        gs_groups=None,
+        gs_fg_classes=None,
+        axis_name=None,
     ):
         assert len(loss_types) == len(loss_weights)
         self.loss_types = list(loss_types)
@@ -146,18 +149,41 @@ class Losses:
             jnp.asarray(wce_weights(cls_num_pts, ignore_index, normalize=False))
             if cls_num_pts is not None else None
         )
+        self.gs_groups = gs_groups
+        self.gs_fg_classes = gs_fg_classes
+        self.axis_name = axis_name
+        self.stateful = "EQLv2" in self.loss_types
         unknown = set(self.loss_types) - {
             "CELoss", "LovLoss", "WCELoss", "FocalLoss", "DiceLossV0",
-            "DiceLossV1", "ELLLoss",
+            "DiceLossV1", "ELLLoss", "EQLv2", "GroupSoftmax",
+            "GroupSoftmax_fgbg_2",
         }
         if unknown:
             raise NotImplementedError(f"loss types not yet built: {unknown}")
 
+    def init_state(self, num_classes: int):
+        """Initial stateful-loss statistics (EQLv2 gradient accumulators,
+        reference pcseg/loss/eqlv2.py:8-46) or None for stateless stacks;
+        carried through TrainState.loss_state by the train step."""
+        if not self.stateful:
+            return None
+        from .eqlv2 import EqlV2State
+
+        return EqlV2State.init(num_classes)
+
     def __call__(
-        self, logits: jnp.ndarray, labels: jnp.ndarray, point_valid: jnp.ndarray
-    ) -> jnp.ndarray:
+        self,
+        logits: jnp.ndarray,
+        labels: jnp.ndarray,
+        point_valid: jnp.ndarray,
+        loss_state=None,
+    ):
+        """Returns the scalar loss; for stateful stacks (EQLv2) returns
+        (loss, new_loss_state) — the SPMD step threads the state through
+        TrainState.loss_state (parallel/__init__.py:113-120)."""
         valid = point_valid & (labels != self.ignore_index)
         total = jnp.float32(0.0)
+        new_state = loss_state
         for name, w in zip(self.loss_types, self.loss_weights):
             if name == "CELoss":
                 l = cross_entropy(
@@ -187,9 +213,38 @@ class Losses:
                     logits, labels, valid, ignore_index=self.ignore_index,
                     cls_weight=self.ell_weight,
                 )
+            elif name == "EQLv2":
+                from .eqlv2 import eqlv2_loss
+
+                assert loss_state is not None, (
+                    "EQLv2 needs loss_state (Losses.init_state)"
+                )
+                l, new_state = eqlv2_loss(
+                    logits, labels, valid, loss_state,
+                    axis_name=self.axis_name,
+                )
+            elif name == "GroupSoftmax":
+                from .eqlv2 import group_softmax_loss
+
+                assert self.gs_groups, "GroupSoftmax needs gs_groups"
+                l = group_softmax_loss(
+                    logits, labels, valid, self.gs_groups
+                )
+            elif name == "GroupSoftmax_fgbg_2":
+                from .eqlv2 import group_softmax_fgbg_loss
+
+                assert self.gs_groups and self.gs_fg_classes, (
+                    "GroupSoftmax_fgbg_2 needs gs_groups + gs_fg_classes"
+                )
+                l = group_softmax_fgbg_loss(
+                    logits, labels, valid, self.gs_groups,
+                    self.gs_fg_classes,
+                )
             else:  # pragma: no cover — guarded in __init__
                 raise KeyError(name)
             total = total + w * l
+        if self.stateful:
+            return total, new_state
         return total
 
 

@@ -117,3 +117,40 @@ def group_softmax_loss(
         total = total + jnp.sum(nll * w)
         denom = denom + jnp.sum(w)
     return total / jnp.maximum(denom, 1e-8)
+
+
+def group_softmax_fgbg_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    groups: list,
+    fg_classes: list,
+    *,
+    beta: float = 8.0,
+) -> jnp.ndarray:
+    """GroupSoftmax with an extra foreground/background binary group
+    (reference `pcseg/loss/group_softmax_fgbg_2.py`, the 'fg bg' slot pair
+    in `group_softmax.py:62-67`): the per-group losses are as in
+    `group_softmax_loss`, plus a 2-way softmax where every valid point is
+    labeled by membership of `fg_classes`."""
+    base = group_softmax_loss(logits, labels, valid, groups, beta=beta)
+    n, c = logits.shape
+    x = logits.astype(jnp.float32)
+    labels_c = jnp.clip(labels, 0, c - 1)
+    m = valid.astype(jnp.float32)
+    fg_ids = jnp.asarray(list(fg_classes), jnp.int32)
+    fg_mask_c = jnp.zeros((c,), bool).at[fg_ids].set(True)
+    is_fg = fg_mask_c[labels_c]
+    fg_logit = jax.nn.logsumexp(
+        jnp.where(fg_mask_c[None, :], x, -jnp.inf), axis=1
+    )
+    bg_logit = jax.nn.logsumexp(
+        jnp.where((~fg_mask_c)[None, :], x, -jnp.inf), axis=1
+    )
+    pair = jnp.stack([bg_logit, fg_logit], axis=1)
+    lp = jax.nn.log_softmax(pair, axis=1)
+    nll = -jnp.take_along_axis(
+        lp, is_fg.astype(jnp.int32)[:, None], axis=1
+    )[:, 0]
+    fgbg = jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1e-8)
+    return base + fgbg

@@ -144,6 +144,13 @@ def make_train_step(
             loss_state=new_loss_state,
         )
         metrics = {"loss": loss, "grad_norm": optax_global_norm(grads)}
+        # capacity telemetry: true per-level voxel counts (pre-clipping);
+        # the engine compares them against caps.voxels and warns — silent
+        # capacity truncation must never masquerade as a model-quality
+        # problem (round-1 review item 10)
+        if hasattr(topo, "levels"):
+            nums = jnp.stack([l.num for l in topo.levels])
+            metrics["level_nums"] = jax.lax.pmax(nums, DATA_AXIS)
         return new_state, metrics
 
     step = jax.shard_map(

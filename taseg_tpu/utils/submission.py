@@ -73,3 +73,51 @@ def remap_label_files(
         out.astype(np.uint32).tofile(f if inplace else f.with_suffix(".remap"))
         n += 1
     return n
+
+
+# --------------------------- nuScenes lidarseg -----------------------------
+
+NUSCENES_SUBMISSION_META = {
+    "use_camera": False,
+    "use_lidar": True,
+    "use_radar": False,
+    "use_map": False,
+    "use_external": False,
+}
+
+
+def save_nuscenes_predictions(
+    save_root, lidar_token: str, train_ids: np.ndarray
+):
+    """Write one scan's predictions in the nuScenes lidarseg challenge
+    format: `<save_root>/lidarseg/test/<token>_lidarseg.bin`, uint8 class
+    ids, one byte per point, label 0 (ignore) forbidden by the benchmark
+    (reference train.py:508-528)."""
+    out = Path(save_root) / "lidarseg" / "test"
+    out.mkdir(parents=True, exist_ok=True)
+    ids = np.asarray(train_ids).reshape(-1).astype(np.uint8)
+    if (ids == 0).any():
+        # the benchmark rejects ignore-label predictions; remap to the
+        # most common non-ignore class of the scan as a safe fallback
+        nz = ids[ids != 0]
+        fill = np.uint8(np.bincount(nz).argmax()) if len(nz) else np.uint8(1)
+        ids = np.where(ids == 0, fill, ids)
+    path = out / f"{lidar_token}_lidarseg.bin"
+    ids.reshape(-1, 1).tofile(path)
+    return path
+
+
+def write_nuscenes_submission_json(save_root):
+    """`submission.json` beside the lidarseg/ directory (train.py:545-559)."""
+    import json
+
+    path = Path(save_root) / "submission.json"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"meta": dict(NUSCENES_SUBMISSION_META)}, f)
+    return path
+
+
+def read_nuscenes_predictions(save_root, lidar_token: str) -> np.ndarray:
+    p = Path(save_root) / "lidarseg" / "test" / f"{lidar_token}_lidarseg.bin"
+    return np.fromfile(p, dtype=np.uint8)

@@ -111,3 +111,45 @@ def test_pretrained_partial_load(trained, tmp_path):
     ckpts = sorted((out / "ckpt").glob("checkpoint_epoch_*"))
     assert ckpts
     tr.load_pretrained(str(ckpts[-1]))  # full match loads everything
+
+
+def test_capacity_overflow_telemetry(tmp_path):
+    """Round-1 review item 10: an undersized voxel capacity must surface a
+    loud warning, not silently truncate the topology."""
+    import logging
+
+    import numpy as np
+
+    from taseg_tpu.data import build_dataloader
+    from taseg_tpu.engine import Trainer
+    from taseg_tpu.utils.config import Config
+
+    cfg = Config.wrap({
+        "MODALITY": "voxel",
+        "DATA": {"DATASET": "synthetic", "LENGTH": 8, "N_RAW_POINTS": 1000,
+                 "VOXEL_SIZE": 0.01, "NUM_POINTS": 1024},
+        "MODEL": {"NAME": "MinkUNet", "IN_FEATURE_DIM": 4, "NUM_CLASS": 20,
+                  "IGNORE_LABEL": 0, "BLOCK": "ResBlock",
+                  "NUM_LAYER": [1] * 8, "cr": 0.125, "DROPOUT_P": 0.0,
+                  "IF_DIST": True},
+        "OPTIM": {"BATCH_SIZE_PER_GPU": 1, "NUM_EPOCHS": 1,
+                  "OPTIMIZER": "sgd", "LR_PER_SAMPLE": 0.01,
+                  "WEIGHT_DECAY": 1e-4, "MOMENTUM": 0.9,
+                  "SCHEDULER": "linear_warmup_with_cosdecay",
+                  "WARMUP_EPOCH": 1},
+    })
+    import jax
+    n = len(jax.devices())
+    loader = build_dataloader(cfg.DATA, training=True, n_shards=n,
+                              scans_per_shard=1)
+    # ~1000 unique voxels at 0.01 m exceed the L0 level capacity
+    # (0.85 x 1024) while fitting the 1024 point capacity
+    logger = logging.getLogger("cap_test")
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    logger.addHandler(handler)
+    tr = Trainer(cfg, loader, None, output_dir=tmp_path, logger=logger)
+    tr.train_one_epoch(0, jax.random.PRNGKey(0))
+    assert tr._capacity_overflows > 0
+    assert any("CAPACITY OVERFLOW" in m for m in records)

@@ -119,3 +119,70 @@ def test_train_step_threads_eqlv2_state():
     s1 = float(state.loss_state.pos_grad.sum())
     state, _ = step(state, batch, jax.random.PRNGKey(1))
     assert float(state.loss_state.pos_grad.sum()) > s1  # keeps accumulating
+
+
+def test_eqlv2_through_trainer_state():
+    """VERDICT item 8: LOSS_TYPES [EQLv2] flows Losses -> TrainState.
+    loss_state -> SPMD step; gradient statistics update and are identical
+    across shards (the psum happens inside the loss)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from taseg_tpu.loss import Losses
+    from taseg_tpu.models import MinkUNet, UNetCapacities
+    from taseg_tpu.optim import build_optimizer
+    from taseg_tpu.parallel import (
+        Batch, TrainState, make_mesh, make_train_step,
+    )
+    from taseg_tpu.models.voxel.backbone_context import build_unet_topology
+    from taseg_tpu.ops import PointSet
+    from taseg_tpu.data.synthetic import synthetic_scan
+    from taseg_tpu.data.voxel_dataset import VoxelPipeline, collate_batch
+
+    mesh = make_mesh()
+    n = len(jax.devices())
+    pipe = VoxelPipeline(voxel_size=0.3, training=False)
+    rng = np.random.default_rng(0)
+    shards = []
+    for r in range(n):
+        pts, labels = synthetic_scan(rng, 1200)
+        ring = np.zeros((len(pts), 1), np.float32)
+        shards.append([pipe({"xyzret": np.concatenate([pts, ring], 1),
+                             "labels": labels})])
+    cap = 2048
+    arrays, _ = collate_batch(shards, cap)
+    batch = Batch(
+        point_coords=jnp.asarray(arrays["point_coords"]),
+        point_feats=jnp.asarray(arrays["point_feats"]),
+        labels=jnp.asarray(arrays["labels"]),
+        num_points=jnp.asarray(arrays["num_points"]),
+    )
+    caps = UNetCapacities.for_points(cap)
+    model = MinkUNet(num_classes=20, cr=0.125, num_layer=(1,) * 8,
+                     dropout_p=0.0, axis_name="data")
+    pts0 = PointSet(coords=batch.point_coords[0],
+                    feats=batch.point_feats[0],
+                    num=batch.num_points[0, 0])
+    topo = build_unet_topology(pts0.coords, pts0.num, caps)
+    v = model.init({"params": jax.random.PRNGKey(0)}, pts0, topo, False)
+    tx = build_optimizer(
+        {"OPTIMIZER": "sgd", "LR": 0.02, "WEIGHT_DECAY": 1e-4,
+         "MOMENTUM": 0.9, "SCHEDULER": "linear_warmup_with_cosdecay",
+         "WARMUP_EPOCH": 1}, 4, 1,
+    )
+    crit = Losses(["EQLv2"], [1.0], ignore_index=0, axis_name="data")
+    state = TrainState(
+        params=v["params"], batch_stats=v["batch_stats"],
+        opt_state=tx.init(v["params"]), step=jnp.int32(0),
+        loss_state=crit.init_state(20),
+    )
+    step = make_train_step(model, crit, tx, caps, mesh, donate=False)
+    s0 = np.asarray(state.loss_state.pos_grad).copy()
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    s1 = np.asarray(state.loss_state.pos_grad)
+    assert (s1 != s0).any(), "EQLv2 gradient statistics did not update"
+    state, _ = step(state, batch, jax.random.PRNGKey(2))
+    s2 = np.asarray(state.loss_state.pos_grad)
+    assert (s2 != s1).any()

@@ -176,3 +176,34 @@ def test_waymo_reader(tmp_path):
     assert s["xyzret"].shape == (1000, 5)  # both returns concatenated
     assert np.abs(s["xyzret"][:, 3:5]).max() <= 1.0  # tanh-normalized
     assert s["labels"].max() < 23
+
+
+def test_nuscenes_submission_roundtrip(tmp_path):
+    """uint8 _lidarseg.bin + submission.json writer (reference
+    train.py:508-559): bytes re-readable, zero labels remapped, json
+    schema matches the challenge meta block."""
+    import json
+
+    import numpy as np
+
+    from taseg_tpu.utils.submission import (
+        NUSCENES_SUBMISSION_META,
+        read_nuscenes_predictions,
+        save_nuscenes_predictions,
+        write_nuscenes_submission_json,
+    )
+
+    rng = np.random.default_rng(0)
+    preds = rng.integers(0, 17, 1000).astype(np.int64)
+    token = "abc123def456"
+    p = save_nuscenes_predictions(tmp_path, token, preds)
+    assert p.name == f"{token}_lidarseg.bin"
+    back = read_nuscenes_predictions(tmp_path, token)
+    assert back.dtype == np.uint8 and len(back) == 1000
+    assert (back == 0).sum() == 0  # benchmark forbids ignore labels
+    nz = preds != 0
+    np.testing.assert_array_equal(back[nz], preds[nz].astype(np.uint8))
+
+    j = write_nuscenes_submission_json(tmp_path)
+    meta = json.load(open(j))["meta"]
+    assert meta == NUSCENES_SUBMISSION_META
