@@ -230,6 +230,33 @@ class VoxelLoader:
         ]
         return collate_batch(shards, self.point_capacity)
 
+    def iter_tta(self, votes: int, rng_seed: int = 0):
+        """Deterministic TTA iteration (public API): yields, per scan-batch,
+        the list of `votes` collated (arrays, meta) pairs, one per
+        deterministic rotation vote (reference seg_utils.py:58-61 table,
+        semantickitti_voxel.py:101-117 fixed-transform path).  Ordering is
+        the unshuffled reader order; pipeline augmentation state is
+        restored afterwards."""
+        from .augment import AugParams
+
+        was_training = self.pipeline.training
+        self.pipeline.training = False
+        base_rng = np.random.default_rng(rng_seed)
+        tables = [AugParams.tta_vote(v, rng=base_rng) for v in range(votes)]
+        order = np.arange(len(self.reader))
+        spb = self.scans_per_batch
+        try:
+            for step in range(len(self)):
+                idxs = order[step * spb: (step + 1) * spb]
+                per_vote = []
+                for aug in tables:
+                    self.fixed_aug = aug
+                    per_vote.append(self._make_batch(idxs))
+                yield per_vote
+        finally:
+            self.fixed_aug = None
+            self.pipeline.training = was_training
+
     def __iter__(self) -> Iterator:
         order = self._epoch_order()
         spb = self.scans_per_batch

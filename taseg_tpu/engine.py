@@ -538,21 +538,13 @@ class Trainer:
                             )
                         n_scans += 1
         else:
-            from .data.augment import AugParams
-
-            # scan-major: all votes of one batch of scans are accumulated
-            # and finalized before moving on, bounding memory to one batch
-            base_rng = np.random.default_rng(0)
-            loader.pipeline.training = False
-            order = loader._epoch_order()
-            spb = loader.scans_per_batch
-            for step in range(len(loader)):
-                idxs = order[step * spb: (step + 1) * spb]
+            # scan-major through the loader's public deterministic-votes
+            # API: all votes of one batch of scans are accumulated and
+            # finalized before moving on, bounding memory to one batch
+            for per_vote in loader.iter_tta(tta_votes):
                 votes_acc: dict = {}
                 scan_meta: dict = {}
-                for vote in range(tta_votes):
-                    loader.fixed_aug = AugParams.tta_vote(vote, rng=base_rng)
-                    arrays, meta = loader._make_batch(idxs)
+                for arrays, meta in per_vote:
                     batch = self._to_eval_batch(arrays)
                     _, logits = self.eval_step(
                         self.state.params, self.state.batch_stats, batch
@@ -564,7 +556,6 @@ class Trainer:
                         ):
                             accumulate(sample, pt_logits, votes_acc)
                             scan_meta[sample.name] = sample
-                loader.fixed_aug = None
                 for name, prob in votes_acc.items():
                     sample = scan_meta[name]
                     n = sample.num_raw_points

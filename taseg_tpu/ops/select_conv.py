@@ -17,9 +17,12 @@ dynamic slices are fast.  The whole per-level feature array fits in VMEM
     bf16 MXU matmul (exact: one-hot entries are 0/1), multiplied by
     kron(I_GP, W_k) so each packed lane group is convolved in place, and
     the right group is extracted with VPU masks;
-  * matches beyond the window (long in-plane drift tails, ~0.3-2% of
-    entries, see scratch/an_window analysis) are fixed up EXACTLY by a
-    lax.cond-gated XLA path over the overflow entries.
+  * matches beyond the window cluster at z-plane crossings (~1-2% of
+    (offset, tile) pairs carry a SECOND far cluster; scratch/an_window),
+    so the kernel runs a pl.when-PREDICATED second window anchored at the
+    first uncovered match — ~2% extra compute instead of 2x; the rare
+    residual beyond both windows goes through a lax.cond-gated exact XLA
+    fixup that almost never fires.
 
 Rulebook semantics, weight layout (K, C_in, C_out) and offset enumeration
 match `ops.rulebook` / torchsparse exactly, so this is a drop-in for
@@ -38,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 256  # output rows per grid step
 ALIGN = 16  # window starts aligned to 16 packed rows (bf16 sublane tile)
+W2_MULT = 4  # second (predicated) window is this many times wider
 
 
 @struct.dataclass
@@ -46,7 +50,9 @@ class SelectTables:
 
     starts: jnp.ndarray  # (K_pad, n_tiles) int32 — packed-row window starts
     loc: jnp.ndarray  # (n_tiles, K_pad, T) int32 — voxel-local idx, -1 inval
-    overflow_rb: jnp.ndarray  # (K, V_out) int32 — rb where outside window
+    starts2: jnp.ndarray  # (K_pad, n_tiles) int32 — 2nd-window starts, -1 off
+    loc2: jnp.ndarray  # (n_tiles, K_pad, T) int32 — 2nd-window local idx
+    overflow_rb: jnp.ndarray  # (K, V_out) int32 — rb beyond BOTH windows
     has_overflow: jnp.ndarray  # () int32
     # static meta
     gp: int = struct.field(pytree_node=False)
@@ -97,28 +103,46 @@ def build_select_tables(
     rbt = rb.reshape(k, n_tiles, TILE)
     valid = rbt >= 0
     big = jnp.int32(2**30)
-    min_v = jnp.min(jnp.where(valid, rbt, big), axis=-1)  # (K, n_tiles)
-    min_v = jnp.where(min_v >= big, 0, min_v)
-    starts = (min_v // gp) // ALIGN * ALIGN
-    starts = jnp.clip(starts, 0, max(vp - w_packed, 0))
 
-    loc = rbt - (starts * gp)[:, :, None]
-    in_win = valid & (loc >= 0) & (loc < w_packed * gp)
-    loc = jnp.where(in_win, loc, -1)
-    overflow = valid & ~in_win
+    def window(mask):
+        mn = jnp.min(jnp.where(mask, rbt, big), axis=-1)  # (K, n_tiles)
+        empty = mn >= big
+        st = jnp.where(empty, 0, (mn // gp) // ALIGN * ALIGN)
+        st = jnp.clip(st, 0, max(vp - w_packed, 0))
+        lc = rbt - (st * gp)[:, :, None]
+        inside = mask & (lc >= 0) & (lc < w_packed * gp)
+        return jnp.where(empty, -1, st), jnp.where(inside, lc, -1), inside
+
+    def window2(mask):
+        w2 = min(w_packed * W2_MULT, vp)
+        mn = jnp.min(jnp.where(mask, rbt, big), axis=-1)
+        empty = mn >= big
+        st = jnp.where(empty, 0, (mn // gp) // ALIGN * ALIGN)
+        st = jnp.clip(st, 0, max(vp - w2, 0))
+        lc = rbt - (st * gp)[:, :, None]
+        inside = mask & (lc >= 0) & (lc < w2 * gp)
+        return jnp.where(empty, -1, st), jnp.where(inside, lc, -1), inside
+
+    starts, loc, in1 = window(valid)
+    starts = jnp.maximum(starts, 0)  # primary window always on
+    uncovered = valid & ~in1
+    starts2, loc2, in2 = window2(uncovered)
+    overflow = uncovered & ~in2
     overflow_rb = jnp.where(overflow, rbt, -1).reshape(k, v_out)
 
     k_pad = _round_up(k, 8)
     if k_pad != k:
-        starts = jnp.concatenate(
-            [starts, jnp.zeros((k_pad - k, n_tiles), jnp.int32)]
-        )
-        loc = jnp.concatenate(
-            [loc, jnp.full((k_pad - k, n_tiles, TILE), -1, jnp.int32)]
-        )
+        zpad = jnp.zeros((k_pad - k, n_tiles), jnp.int32)
+        starts = jnp.concatenate([starts, zpad])
+        starts2 = jnp.concatenate([starts2, zpad - 1])
+        lpad = jnp.full((k_pad - k, n_tiles, TILE), -1, jnp.int32)
+        loc = jnp.concatenate([loc, lpad])
+        loc2 = jnp.concatenate([loc2, lpad])
     return SelectTables(
         starts=starts,
         loc=loc.transpose(1, 0, 2),
+        starts2=starts2,
+        loc2=loc2.transpose(1, 0, 2),
         overflow_rb=overflow_rb,
         has_overflow=jnp.sum(overflow.astype(jnp.int32)),
         gp=gp,
@@ -128,35 +152,54 @@ def build_select_tables(
     )
 
 
-def _kernel(s_ref, loc_ref, w_ref, feats_ref, out_ref, *, nk, t, w, gp, c_out):
+def _kernel(
+    s_ref, s2_ref, loc_ref, loc2_ref, w_ref, feats_ref, out_ref,
+    *, nk, t, w, w2, gp, c_out,
+):
     i = pl.program_id(0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+    out_ref[:] = jnp.zeros((t, c_out), jnp.float32)
 
-    def one(k, acc):
-        st = pl.multiple_of(s_ref[k, i], ALIGN)
-        win = feats_ref[pl.ds(st, w), :]
-        lv = loc_ref[0, k, :]
+    def contribution(start, lv, wide=False):
+        st = pl.multiple_of(start, ALIGN)
+        ww = w2 if wide else w
+        win = feats_ref[pl.ds(st, ww), :]
         if gp > 1:
             pr = lv // gp
             g = lv - pr * gp
         else:
             pr = lv
+        iota = jax.lax.broadcasted_iota(jnp.int32, (t, ww), 1)
         sel = (pr[:, None] == iota).astype(jnp.bfloat16)
         picked = jnp.dot(
             sel, win, preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)
-        res = jnp.dot(picked, w_ref[k], preferred_element_type=jnp.float32)
+        res = jnp.dot(picked, w_ref[k_cur[0]], preferred_element_type=jnp.float32)
         if gp == 1:
-            return acc + res
+            return res
+        acc = jnp.zeros((t, c_out), jnp.float32)
         for gg in range(gp):
             m = (g == gg).astype(jnp.float32)
             acc = acc + m[:, None] * res[:, gg * c_out : (gg + 1) * c_out]
         return acc
 
-    acc = jax.lax.fori_loop(
-        0, nk, one, jnp.zeros((t, c_out), jnp.float32)
-    )
-    out_ref[:] = acc
+    k_cur = [0]
+
+    def one(k, carry):
+        k_cur[0] = k
+        out_ref[:] += contribution(s_ref[k, i], loc_ref[0, k, :])
+
+        @pl.when(s2_ref[k, i] >= 0)
+        def _():
+            # predicated second window: the far cluster of plane-crossing
+            # tiles (~1-2% of (k, tile) pairs) — near-zero amortized cost
+            out_ref[:] += contribution(
+                jnp.maximum(s2_ref[k, i], 0), loc2_ref[0, k, :],
+                wide=True,
+            )
+
+        return carry
+
+    jax.lax.fori_loop(0, nk, one, jnp.int32(0))
 
 
 def _interpret_mode() -> bool:
@@ -189,18 +232,20 @@ def _run_kernel(feats, weight, tables: SelectTables, c_out: int):
     wk = wk.astype(jnp.bfloat16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, k_pad, t), lambda i, s: (i, 0, 0)),
-            pl.BlockSpec((k_pad, lanes, gp * c_out), lambda i, s: (0, 0, 0)),
-            pl.BlockSpec((vp, lanes), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, k_pad, t), lambda i, s, s2: (i, 0, 0)),
+            pl.BlockSpec((1, k_pad, t), lambda i, s, s2: (i, 0, 0)),
+            pl.BlockSpec((k_pad, lanes, gp * c_out), lambda i, s, s2: (0, 0, 0)),
+            pl.BlockSpec((vp, lanes), lambda i, s, s2: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((t, c_out), lambda i, s: (i, 0)),
+        out_specs=pl.BlockSpec((t, c_out), lambda i, s, s2: (i, 0)),
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, nk=k, t=t, w=w, gp=gp, c_out=c_out
+            _kernel, nk=k, t=t, w=w, w2=min(w * W2_MULT, vp),
+            gp=gp, c_out=c_out,
         ),
         out_shape=jax.ShapeDtypeStruct((v_out, c_out), jnp.float32),
         grid_spec=grid_spec,
@@ -208,7 +253,7 @@ def _run_kernel(feats, weight, tables: SelectTables, c_out: int):
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=_interpret_mode(),
-    )(tables.starts, tables.loc, wk, packed)
+    )(tables.starts, tables.starts2, tables.loc, tables.loc2, wk, packed)
     return out
 
 
@@ -292,13 +337,17 @@ def flip_tables(tab: SelectTables) -> SelectTables:
     pairing of a same-coordinate-set odd kernel (see ops.sparse_conv
     flip_rulebook).  Pure reindexing along the offset axis — no rebuild."""
     k = tab.k
-    starts = jnp.concatenate([tab.starts[:k][::-1], tab.starts[k:]])
-    loc = jnp.concatenate(
-        [tab.loc[:, :k][:, ::-1], tab.loc[:, k:]], axis=1
-    )
+
+    def flip_k(x, axis):
+        if axis == 0:
+            return jnp.concatenate([x[:k][::-1], x[k:]])
+        return jnp.concatenate([x[:, :k][:, ::-1], x[:, k:]], axis=1)
+
     return SelectTables(
-        starts=starts,
-        loc=loc,
+        starts=flip_k(tab.starts, 0),
+        loc=flip_k(tab.loc, 1),
+        starts2=flip_k(tab.starts2, 0),
+        loc2=flip_k(tab.loc2, 1),
         overflow_rb=tab.overflow_rb[::-1],
         has_overflow=tab.has_overflow,
         gp=tab.gp,

@@ -102,23 +102,33 @@ def test_tables_overflow_counting():
     n_ov = int(tab.has_overflow)
     n_valid = int((np.asarray(rb) >= 0).sum())
     assert 0 <= n_ov < n_valid
-    # every valid rulebook entry is either in-window or in overflow_rb
+    # every valid rulebook entry is in exactly one of: primary window,
+    # second (predicated) window, or the overflow fixup list
     ov = np.asarray(tab.overflow_rb)
     loc = np.asarray(tab.loc)  # (n_tiles, K_pad, T)
+    loc2 = np.asarray(tab.loc2)
     rb_np = np.asarray(rb)
     k, v_out = rb_np.shape
     starts = np.asarray(tab.starts)
+    starts2 = np.asarray(tab.starts2)
     for kk in range(k):
         for vv in range(v_out):
             if rb_np[kk, vv] < 0:
                 continue
             t, r = divmod(vv, TILE)
-            in_win = loc[t, kk, r] >= 0
+            in_w1 = loc[t, kk, r] >= 0
+            in_w2 = loc2[t, kk, r] >= 0
             in_ov = ov[kk, vv] >= 0
-            assert in_win != in_ov
-            if in_win:
+            assert int(in_w1) + int(in_w2) + int(in_ov) == 1
+            if in_w1:
                 assert (
                     starts[kk, t] * tab.gp + loc[t, kk, r] == rb_np[kk, vv]
+                )
+            if in_w2:
+                assert starts2[kk, t] >= 0
+                assert (
+                    starts2[kk, t] * tab.gp + loc2[t, kk, r]
+                    == rb_np[kk, vv]
                 )
 
 
