@@ -24,10 +24,15 @@ from .semantickitti.reader_ms import (
     MultiScanKittiReader,
     SmsaKittiReader,
 )
-from .synthetic import SyntheticKittiReader, SyntheticMsKittiReader
+from .synthetic import (
+    SyntheticKittiReader,
+    SyntheticMsKittiReader,
+    SyntheticTiafReader,
+)
 from .waymo import WaymoReader
 from .cylinder_dataset import CylinderPipeline
 from .range_dataset import RangeViewPipeline, collate_range_batch
+from .voxel_mm import MmVoxelSample, MsMmVoxelPipeline, collate_mm_batch
 from .voxel_dataset import (
     KdVoxelSample,
     MsKdVoxelPipeline,
@@ -86,6 +91,25 @@ def build_reader(data_cfgs, training: bool):
             pseudo_label_root=data_cfgs.get("PSEUDO_LABEL_ROOT", None),
             multiscan_labels=True,
         )
+    if dataset == "semantickitti_ms_mm":
+        from .semantickitti.reader_mm import TiafKittiReader
+
+        return TiafKittiReader(
+            data_cfgs["DATA_PATH"],
+            split="train" if training else "val",
+            augment=data_cfgs.get("AUGMENT", "GlobalAugment"),
+            samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
+            multiscan=data_cfgs.get("MULTISCAN", 16),
+            only_history=data_cfgs.get("ONLY_HISTORY", True),
+            flexible_steps=data_cfgs.get("FLEXIBLE_STEPS", None),
+            pseudo_mask=data_cfgs.get("PSEUDO_MASK", "gt"),
+            pseudo_label_root=data_cfgs.get("PSEUDO_LABEL_ROOT", None),
+            multiscan_image=data_cfgs.get("MULTISCAN_IMAGE", 48),
+            step_image=data_cfgs.get("STEP_IMAGE", 12),
+            image_height=data_cfgs.get("IMAGE_HEIGHT", 384),
+            image_width=data_cfgs.get("IMAGE_WIDTH", 1280),
+            semantic_map_root=data_cfgs.get("SEMANTIC_MAP_ROOT", None),
+        )
     if dataset == "nuscenes":
         return NuscenesReader(
             data_cfgs["DATA_PATH"],
@@ -119,6 +143,15 @@ def build_reader(data_cfgs, training: bool):
             length=data_cfgs.get("LENGTH", 16),
             n_points=data_cfgs.get("N_RAW_POINTS", 60_000),
             seed=0 if training else 1,
+        )
+    if dataset == "synthetic_ms_mm":
+        return SyntheticTiafReader(
+            length=data_cfgs.get("LENGTH", 16),
+            n_points=data_cfgs.get("N_RAW_POINTS", 60_000),
+            seed=0 if training else 1,
+            n_images=data_cfgs.get("N_IMAGES", 2),
+            img_h=data_cfgs.get("IMG_H", 32),
+            img_w=data_cfgs.get("IMG_W", 64),
         )
     if dataset == "synthetic_ms_kd":
         return SyntheticMsKittiReader(
@@ -159,6 +192,8 @@ class VoxelLoader:
         # KD-stage extras (set by build_dataloader for the kd pipeline)
         self.teacher_capacity = None
         self.kd_max_voxel = 3000
+        # TIAF extras (set for the mm pipeline)
+        self.fov_capacity = None
         # when set, every sample is transformed with this exact AugParams —
         # the deterministic TTA-vote path (reference
         # semantickitti_voxel.py:101-117)
@@ -202,6 +237,17 @@ class VoxelLoader:
             self.pipeline(self.reader[int(i)], aug=self.fixed_aug)
             for i in idxs
         ]
+        if samples and isinstance(samples[0], MmVoxelSample):
+            while len(samples) < self.scans_per_batch:
+                samples.append(samples[len(samples) % len(idxs)])
+            shards = [
+                samples[r * self.scans_per_shard: (r + 1) * self.scans_per_shard]
+                for r in range(self.n_shards)
+            ]
+            return collate_mm_batch(
+                shards, self.point_capacity,
+                self.fov_capacity or self.point_capacity,
+            )
         if samples and isinstance(samples[0], KdVoxelSample):
             while len(samples) < self.scans_per_batch:
                 samples.append(samples[len(samples) % len(idxs)])
@@ -311,6 +357,8 @@ def build_dataloader(
             pipeline_kind = "cylinder"
         elif dataset_name.endswith("_ms_kd"):
             pipeline_kind = "kd"
+        elif dataset_name.endswith("_ms_mm"):
+            pipeline_kind = "mm"
         else:
             pipeline_kind = "voxel"
     if pipeline_kind == "range":
@@ -346,8 +394,10 @@ def build_dataloader(
         )
     is_ms = str(data_cfgs.get("DATASET", "synthetic")).endswith("_ms")
     is_kd = pipeline_kind == "kd"
+    is_mm = pipeline_kind == "mm"
     pipe_cls = (
-        MsKdVoxelPipeline if is_kd
+        MsMmVoxelPipeline if is_mm
+        else MsKdVoxelPipeline if is_kd
         else MsVoxelPipeline if is_ms
         else VoxelPipeline
     )
@@ -360,7 +410,7 @@ def build_dataloader(
         if_jitter=data_cfgs.get("TRANSFORM_AUG", True),
         if_rotate=data_cfgs.get("ROTATE_AUG", True),
     )
-    if is_ms or is_kd:
+    if is_ms or is_kd or is_mm:
         kwargs["in_feature_dim"] = data_cfgs.get("IN_FEATURE_DIM", 5)
     if is_kd:
         kwargs["max_voxel"] = int(data_cfgs.get("MAX_VOXEL", 3000))
@@ -382,4 +432,6 @@ def build_dataloader(
             data_cfgs.get("TEACHER_NUM_POINTS", cap)
         )
         loader.kd_max_voxel = int(data_cfgs.get("MAX_VOXEL", 3000))
+    if is_mm:
+        loader.fov_capacity = int(data_cfgs.get("FOV_NUM_POINTS", cap // 2))
     return loader

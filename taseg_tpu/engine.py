@@ -80,6 +80,8 @@ class Trainer:
         modality = str(cfg.get("MODALITY", "voxel"))
         if modality == "range":
             self.kind = "range"
+        elif name in ("MinkUNetMsMm", "MinkUNetMsMmNus"):
+            self.kind = "tiaf"
         elif name == "MinkUNetMsKd":
             self.kind = "kd"
         elif name == "Cylinder_TS":
@@ -119,8 +121,30 @@ class Trainer:
             if cfg.MODEL["NAME"] in ("SPVCNN", "RPVNet")
             else {}
         )
-        self._build_steps()
+        if self.kind == "tiaf":
+            self.fov_caps = UNetCapacities.for_points(
+                train_loader.fov_capacity or train_loader.point_capacity
+            )
         self.state = self._init_state()
+        # staged-recipe freezing (reference fix_part_param,
+        # minkunet_ms_mm.py:569-572): train only the listed module
+        # prefixes, freeze the rest via an optax mask
+        if cfg.MODEL.get("FIX_PART_PARAM", False):
+            from .utils.param_groups import freeze_except
+
+            trainable = list(
+                cfg.MODEL.get(
+                    "TRAINABLE_PREFIXES",
+                    ["image_backbone", "lidar_backbone",
+                     "classifier_fusion", "classifier_fov"],
+                )
+            )
+            self.tx = freeze_except(self.tx, self.state.params, trainable)
+            self.state = self.state.replace(
+                opt_state=self.tx.init(self.state.params)
+            )
+            self.logger.info(f"fix_part_param: training only {trainable}")
+        self._build_steps()
         self.start_epoch = 0
         self._capacity_overflows = 0
         self.ckptr = ocp.PyTreeCheckpointer()
@@ -189,6 +213,23 @@ class Trainer:
             self.eval_step = make_eval_step(
                 self.model, self.caps, self.mesh, num_class,
             )
+        elif self.kind == "tiaf":
+            from .parallel.tiaf import (
+                make_tiaf_eval_step,
+                make_tiaf_train_step,
+            )
+
+            fov_caps = self.fov_caps
+            self.train_step = make_tiaf_train_step(
+                self.model, self.criterion, self.tx, self.caps, fov_caps,
+                self.mesh,
+                loss_weight=tuple(
+                    cfg.MODEL.get("LOSS_WEIGHT", (0.0, 1.0, 0.5, 0.5, 1.0))
+                ),
+            )
+            self.eval_step = make_tiaf_eval_step(
+                self.model, self.caps, fov_caps, self.mesh, num_class
+            )
         elif self.kind == "range":
             from .loss.range import semkitti_class_weights
             from .parallel.range_step import (
@@ -240,6 +281,16 @@ class Trainer:
                 label=jnp.asarray(arrays["label"]),
                 mask=jnp.asarray(arrays["mask"]),
             )
+        if self.kind == "tiaf" and "main" in arrays:
+            from .parallel.tiaf import TiafBatch
+
+            return TiafBatch(
+                main=batch_from_arrays(arrays["main"]),
+                fov=batch_from_arrays(arrays["fov"]),
+                fov_rowcol=jnp.asarray(arrays["fov_rowcol"]),
+                images=jnp.asarray(arrays["images"]),
+                image_labels=jnp.asarray(arrays["image_labels"]),
+            )
         if self.kind == "kd" and "student" in arrays:
             from .parallel.kd import KdBatch
 
@@ -267,6 +318,23 @@ class Trainer:
             variables = jax.jit(
                 lambda s: self.model.init(rng, s, False)
             )(scan)
+        elif self.kind == "tiaf":
+            from .parallel.tiaf import _unpack
+
+            tb = self._to_batch(arrays)
+
+            def _init(tb):
+                main, topo, fov, fov_topo, fov_devox = _unpack(
+                    tb, self.caps, self.fov_caps
+                )
+                return self.model.init(
+                    rng, main, topo, fov, fov_topo, fov_devox,
+                    tb.images[0], tb.fov_rowcol[0], False,
+                )
+
+            variables = jax.jit(_init)(
+                jax.tree_util.tree_map(lambda x: x[:1], tb)
+            )
         else:
             # init on shard-local shapes
             from .ops import PointSet
@@ -418,9 +486,13 @@ class Trainer:
                 self._check_capacity(np.asarray(metrics["level_nums"]))
             step = int(self.state.step)
             self.writer.scalar("train/loss", loss, step)
-            self.writer.scalar(
-                "train/grad_norm", float(metrics["grad_norm"]), step
-            )
+            for k, v in metrics.items():
+                if k in ("loss", "level_nums"):
+                    continue
+                try:
+                    self.writer.scalar(f"train/{k}", float(v), step)
+                except (TypeError, ValueError):
+                    pass
             if it % max(len(self.train_loader) // 4, 1) == 0:
                 self.logger.info(
                     f"epoch {epoch} it {it}/{len(self.train_loader)} "

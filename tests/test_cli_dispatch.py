@@ -91,3 +91,18 @@ def test_all_configs_load_and_construct():
             cfg.MODEL, int(cfg.MODEL.get("NUM_CLASS", 20))
         )
         assert model is not None
+
+
+def test_cli_tiaf(monkeypatch, tmp_path):
+    """TIAF trains end-to-end through the CLI with the 5-term loss and
+    staged freezing (round-1 review item 4)."""
+    run_cli(
+        monkeypatch, tmp_path,
+        ["--cfg_file", str(REPO / "tools/cfgs/voxel/synthetic/tiaf_tiny.yaml"),
+         "--epochs", "1"],
+    )
+    assert list((tmp_path / "output").rglob("checkpoint_epoch_0"))
+    # loss terms were logged as metrics
+    import json
+    metrics = list((tmp_path / "output").rglob("metrics/*.jsonl"))
+    assert metrics

@@ -268,3 +268,54 @@ def test_smsa_functions_direct():
     np.testing.assert_allclose(
         mp2[:n, 0], frame_pts[:, 0], atol=1e-5
     )
+
+
+def test_tiaf_disk_reader(kitti_root):
+    """Disk-backed TIAF reader: image window loading, frustum projection
+    of the fused cloud into each window image, fov contract for the MM
+    pipeline (reference semantickitti_ms_mm.py:304-461)."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from taseg_tpu.data.semantickitti.reader_mm import TiafKittiReader
+
+    # give sequence 08 tiny camera images + a usable P2
+    seq_dir = kitti_root / "08"
+    (seq_dir / "image_2").mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    for t in range(6):
+        arr = (rng.uniform(0, 255, (48, 96, 3))).astype(np.uint8)
+        Image.fromarray(arr).save(seq_dir / "image_2" / f"{t:06d}.png")
+    calib = (seq_dir / "calib.txt").read_text().splitlines()
+    p2 = np.array([[50.0, 0, 48, 0], [0, 50.0, 24, 0], [0, 0, 1, 0]])
+    calib = [
+        ("P2: " + " ".join(str(v) for v in p2.reshape(-1)))
+        if line.startswith("P2:") else line
+        for line in calib
+    ]
+    (seq_dir / "calib.txt").write_text("\n".join(calib))
+
+    r = TiafKittiReader(
+        str(kitti_root), split="val", multiscan=2,
+        multiscan_image=4, step_image=2,
+        image_height=48, image_width=96, image_jitter=False,
+    )
+    idx = next(i for i, p in enumerate(r.scan_files) if "/08/" in str(p))
+    out = r[idx]
+    assert out["images"].ndim == 4 and out["images"].shape[1:] == (48, 96, 3)
+    assert out["image_labels"].shape[1:] == (48, 96)
+    n_img = out["images"].shape[0]
+    assert out["fov_mask"].dtype == bool
+    rc = out["fov_rowcol"]
+    assert rc.shape == (int(out["fov_mask"].sum()), 2)
+    if len(rc):
+        assert rc[:, 0].max() < n_img * 48 and rc[:, 1].max() < 96
+
+    # pipeline integration: MsMmVoxelPipeline consumes the dict
+    from taseg_tpu.data.voxel_mm import MsMmVoxelPipeline
+
+    pipe = MsMmVoxelPipeline(voxel_size=0.3, training=False,
+                             in_feature_dim=5)
+    mm = pipe(out)
+    assert mm.fov_rowcol.shape == (len(mm.fov.coords), 2)
+    assert mm.images.shape[0] == n_img

