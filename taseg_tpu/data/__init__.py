@@ -32,6 +32,11 @@ from .synthetic import (
 from .waymo import WaymoReader
 from .cylinder_dataset import CylinderPipeline
 from .range_dataset import RangeViewPipeline, collate_range_batch
+from .fusion_dataset import (
+    FusionPipeline,
+    FusionSample,
+    collate_fusion_batch,
+)
 from .voxel_mm import MmVoxelSample, MsMmVoxelPipeline, collate_mm_batch
 from .voxel_dataset import (
     KdVoxelSample,
@@ -237,6 +242,14 @@ class VoxelLoader:
             self.pipeline(self.reader[int(i)], aug=self.fixed_aug)
             for i in idxs
         ]
+        if samples and isinstance(samples[0], FusionSample):
+            while len(samples) < self.scans_per_batch:
+                samples.append(samples[len(samples) % len(idxs)])
+            shards = [
+                samples[r * self.scans_per_shard: (r + 1) * self.scans_per_shard]
+                for r in range(self.n_shards)
+            ]
+            return collate_fusion_batch(shards, self.point_capacity)
         if samples and isinstance(samples[0], MmVoxelSample):
             while len(samples) < self.scans_per_batch:
                 samples.append(samples[len(samples) % len(idxs)])
@@ -377,6 +390,26 @@ def build_dataloader(
             reader, pipeline,
             n_shards=n_shards, scans_per_shard=scans_per_shard,
             point_capacity=0, shuffle=training, drop_last=training,
+        )
+    if pipeline_kind == "fusion":
+        pipeline = FusionPipeline(
+            voxel_size=data_cfgs.get("VOXEL_SIZE", 0.05),
+            training=training,
+            h=data_cfgs.get("H", 64),
+            w=data_cfgs.get("W", 2048),
+            if_flip=data_cfgs.get("FLIP_AUG", True),
+            if_scale=data_cfgs.get("SCALE_AUG", True),
+            scale_range=tuple(data_cfgs.get("SCALE_AUG_RANGE", (0.9, 1.1))),
+            if_jitter=data_cfgs.get("TRANSFORM_AUG", True),
+            if_rotate=data_cfgs.get("ROTATE_AUG", True),
+        )
+        cap = point_capacity or int(
+            data_cfgs.get("NUM_POINTS", 80_000) * scans_per_shard
+        )
+        return VoxelLoader(
+            reader, pipeline,
+            n_shards=n_shards, scans_per_shard=scans_per_shard,
+            point_capacity=cap, shuffle=training, drop_last=training,
         )
     if pipeline_kind == "cylinder":
         pipeline = CylinderPipeline(

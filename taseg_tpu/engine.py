@@ -86,6 +86,8 @@ class Trainer:
             self.kind = "kd"
         elif name == "Cylinder_TS":
             self.kind = "cylinder"
+        elif name == "RPVNet":
+            self.kind = "fusion"
         else:
             self.kind = "voxel"
 
@@ -230,6 +232,18 @@ class Trainer:
             self.eval_step = make_tiaf_eval_step(
                 self.model, self.caps, fov_caps, self.mesh, num_class
             )
+        elif self.kind == "fusion":
+            from .parallel.fusion_step import (
+                make_fusion_eval_step,
+                make_fusion_train_step,
+            )
+
+            self.train_step = make_fusion_train_step(
+                self.model, self.criterion, self.tx, self.caps, self.mesh,
+            )
+            self.eval_step = make_fusion_eval_step(
+                self.model, self.caps, self.mesh, num_class
+            )
         elif self.kind == "range":
             from .loss.range import semkitti_class_weights
             from .parallel.range_step import (
@@ -281,6 +295,16 @@ class Trainer:
                 label=jnp.asarray(arrays["label"]),
                 mask=jnp.asarray(arrays["mask"]),
             )
+        if self.kind == "fusion" and "range_image" in arrays:
+            from .parallel.fusion_step import FusionBatch
+
+            vox = {k: arrays[k] for k in
+                   ("point_coords", "point_feats", "labels", "num_points")}
+            return FusionBatch(
+                points=batch_from_arrays(vox),
+                range_image=jnp.asarray(arrays["range_image"]),
+                range_pxpy=jnp.asarray(arrays["range_pxpy"]),
+            )
         if self.kind == "tiaf" and "main" in arrays:
             from .parallel.tiaf import TiafBatch
 
@@ -318,6 +342,18 @@ class Trainer:
             variables = jax.jit(
                 lambda s: self.model.init(rng, s, False)
             )(scan)
+        elif self.kind == "fusion":
+            from .parallel.fusion_step import _unpack as _unpack_f
+
+            fb = self._to_batch(arrays)
+
+            def _initf(fb):
+                pts, topo, rpv, canvas = _unpack_f(fb, self.caps)
+                return self.model.init(rng, pts, topo, rpv, canvas, False)
+
+            variables = jax.jit(_initf)(
+                jax.tree_util.tree_map(lambda x: x[:1], fb)
+            )
         elif self.kind == "tiaf":
             from .parallel.tiaf import _unpack
 

@@ -1,91 +1,126 @@
 """RPVNet — range + point + voxel three-branch fusion segmentor.
 
 Capability match of the reference
-(`pcseg/model/segmentor/fusion/rpvnet/rpvnet.py:632-716`): a MinkUNet-style
-sparse voxel UNet and a SalsaNext-style range UNet run in parallel, with a
-per-point MLP branch; features meet at four fusion points (after the stems,
-after the encoders, mid-decoder, and at the end) where voxel_to_point +
-range_to_point (bilinear) + point features are summed.  The reference's
-range_lib CUDA kernels (`map_count`/`denselize`) and `F.grid_sample` are
-the ops in `taseg_tpu.ops.point_range`.
+(`pcseg/model/segmentor/fusion/rpvnet/rpvnet.py:632-716`): the three
+branches meet at FOUR fusion points and the information flow is
+bidirectional — after every fusion the summed point features are
+re-scattered INTO the next range-branch segment via `point_to_range`
+(range_lib `map_count`+`denselize` semantics, :73-91), exactly as the
+voxel branch is re-voxelized via point_to_voxel:
 
-Multi-scale head: 'concat' of the three fusion-point features (the
-reference also offers sum/SE variants — concat is the config default).
+    stem_v(img->vox) ‖ stem_r(img)           -> fuse0 (z0)
+    voxel enc(z0)    ‖ range enc(scatter z0)  -> fuse1 (z1)   [1/16 scale]
+    voxel dec half(z1) ‖ range up1-2(scatter z1) -> fuse2 (z2) [1/4 scale]
+    voxel dec rest(z2) ‖ range up3-4(scatter z2) -> fuse3 (z3) [full res]
+
+`range_to_point` is the bilinear sample table (reference F.grid_sample
+with normalized pxpy — scale-free, so each fusion scale gets its own
+table), `point_to_range` the per-pixel segment mean.  Multi-scale head:
+'concat' | 'sum' | 'se' over (z1, z2, z3) (reference :706-716).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
 from flax import struct
 
 from ...ops import (
-    DevoxTable,
     PointSet,
-    SegmentTables,
     devoxelize,
     point_to_range,
     point_to_range_tables,
     range_sample_table,
     voxelize_avg,
 )
-from ..layers import BLOCKS, ConvBNReLU, MaskedBatchNorm
+from ..layers import BLOCKS, ConvBNReLU
 from ..range2d.blocks import ResContextBlock, SalsaResBlock, SalsaUpBlock
 from ..voxel.backbone_context import UNetTopology
 from .spvcnn import PointTransform
 
+FUSION_SCALES = (1, 4, 16)  # full res, after up2, encoder bottom
+
 
 @struct.dataclass
 class RpvContext:
-    """Per-step point<->range tables at the scales the branches meet."""
+    """Per-step point<->range tables at every fusion scale."""
 
     h: int = struct.field(pytree_node=False)
     w: int = struct.field(pytree_node=False)
-    # full-resolution scatter (point -> pixel) tables
-    pix_ids: jnp.ndarray
-    pix_tables: SegmentTables
-    # bilinear sample tables at scale 1 and the decoder meeting scales
-    sample_s1: DevoxTable
-    sample_s1b: DevoxTable  # same scale, reused at late fusion points
+    scatter: dict = struct.field(default_factory=dict)  # s -> (ids, tables)
+    sample: dict = struct.field(default_factory=dict)  # s -> DevoxTable
 
 
 def build_rpv_context(
     pxf: jnp.ndarray, pyf: jnp.ndarray, valid, h: int, w: int
 ) -> RpvContext:
-    ids, tables = point_to_range_tables(
-        jnp.floor(pxf).astype(jnp.int32),
-        jnp.floor(pyf).astype(jnp.int32),
-        valid, h, w,
-    )
-    s1 = range_sample_table(pxf, pyf, valid, h, w)
-    return RpvContext(
-        h=h, w=w, pix_ids=ids, pix_tables=tables,
-        sample_s1=s1, sample_s1b=s1,
-    )
+    """pxf/pyf: float pixel coords of every point in the FULL-res image."""
+    scatter, sample = {}, {}
+    for s in FUSION_SCALES:
+        hs, ws = max(h // s, 1), max(w // s, 1)
+        pxs, pys = pxf / s, pyf / s
+        scatter[s] = point_to_range_tables(
+            jnp.floor(pxs).astype(jnp.int32),
+            jnp.floor(pys).astype(jnp.int32),
+            valid, hs, ws,
+        )
+        sample[s] = range_sample_table(pxs, pys, valid, hs, ws)
+    return RpvContext(h=h, w=w, scatter=scatter, sample=sample)
 
 
-class RangeUNet(nn.Module):
-    """SalsaNext-shaped range branch returning full-res feature maps after
-    the stem and after the decoder (the two range fusion taps)."""
-
+class RangeStem(nn.Module):
     base: int = 32
 
     @nn.compact
     def __call__(self, img, train: bool):
+        x = ResContextBlock(self.base)(img, train)
+        return ResContextBlock(self.base)(x, train)
+
+
+class RangeEncoder(nn.Module):
+    """Four pooled SalsaNext stages + an unpooled mid stage (reference
+    range_branch.stage1-4 + mid_stage): full res -> 1/16."""
+
+    base: int = 32
+    mid: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool):
         b = self.base
-        x = ResContextBlock(b)(img, train)
-        x = ResContextBlock(b)(x, train)
-        stem = x  # tap 0 (full res)
-        d0c, d0b = SalsaResBlock(2 * b, pooling=True, drop_out=False)(x, train)
-        d1c, d1b = SalsaResBlock(4 * b, pooling=True)(d0c, train)
-        d2c, d2b = SalsaResBlock(8 * b, pooling=True)(d1c, train)
-        d5c = SalsaResBlock(8 * b, pooling=False)(d2c, train)
-        u3 = SalsaUpBlock(4 * b)(d5c, d2b, train)
-        u2 = SalsaUpBlock(2 * b)(u3, d1b, train)
-        u1 = SalsaUpBlock(b, drop_out=False)(u2, d0b, train)
-        return stem, u1  # taps at scale 1
+        x, s1 = SalsaResBlock(2 * b, pooling=True, drop_out=False)(x, train)
+        x, s2 = SalsaResBlock(4 * b, pooling=True)(x, train)
+        x, s3 = SalsaResBlock(8 * b, pooling=True)(x, train)
+        x, s4 = SalsaResBlock(8 * b, pooling=True)(x, train)
+        x = SalsaResBlock(self.mid, pooling=False)(x, train)
+        return x, (s1, s2, s3, s4)
+
+
+class RangeDecoderTop(nn.Module):
+    """up1 + up2: 1/16 -> 1/4 (reference range_branch.up1/up2)."""
+
+    c_up1: int
+    c_up2: int
+
+    @nn.compact
+    def __call__(self, x, skips, train: bool):
+        _, _, s3, s4 = skips
+        x = SalsaUpBlock(self.c_up1)(x, s4, train)
+        return SalsaUpBlock(self.c_up2)(x, s3, train)
+
+
+class RangeDecoderBottom(nn.Module):
+    """up3 + up4: 1/4 -> full res (reference range_branch.up3/up4)."""
+
+    c_up3: int
+    c_up4: int
+
+    @nn.compact
+    def __call__(self, x, skips, train: bool):
+        s1, s2, _, _ = skips
+        x = SalsaUpBlock(self.c_up3)(x, s2, train)
+        return SalsaUpBlock(self.c_up4, drop_out=False)(x, s1, train)
 
 
 class RPVNet(nn.Module):
@@ -98,6 +133,7 @@ class RPVNet(nn.Module):
     dropout_p: float = 0.3
     axis_name: Optional[str] = None
     compute_dtype: str = "float32"
+    multi_scale: str = "concat"
 
     @nn.compact
     def __call__(
@@ -117,6 +153,8 @@ class RPVNet(nn.Module):
         ]
         pvalid = points.valid_mask()
         k3 = [(l.rb_k3, None) for l in levels]
+        h, w = rpv.h, rpv.w
+        dt = self.compute_dtype
 
         def stack(x, out_ch, n, rbs, mask, name):
             for i in range(n):
@@ -125,33 +163,46 @@ class RPVNet(nn.Module):
                 )(x, rbs, mask, train)
             return x
 
+        def to_range(z, scale):
+            ids, tables = rpv.scatter[scale]
+            img = point_to_range(
+                z, ids, tables, max(h // scale, 1), max(w // scale, 1)
+            )
+            return img[None].astype(dt)
+
+        def to_point(img, scale):
+            return devoxelize(
+                img[0].reshape(-1, img.shape[-1]), rpv.sample[scale]
+            )
+
         feats = points.feats[:, : self.in_dim]
 
-        # ---- stems ----
+        # ---- stems (rpvnet.py:645-647) ----
         x0 = voxelize_avg(feats, topo.point_inverse, topo.point_tables)
-        x0 = x0.astype(self.compute_dtype)
+        x0 = x0.astype(dt)
         x0 = ConvBNReLU(cs[0], 27, axis_name=self.axis_name, name="v_stem0")(
             x0, k3[0], masks[0], train
         )
         x0 = ConvBNReLU(cs[0], 27, axis_name=self.axis_name, name="v_stem1")(
             x0, k3[0], masks[0], train
         )
-        r_stem, r_out = RangeUNet(base=cs[0], name="range_branch")(
-            range_img[None].astype(self.compute_dtype), train
+        r_x0 = RangeStem(base=cs[0], name="range_stem")(
+            range_img[None].astype(dt), train
         )
 
-        # ---- fusion 0: voxel + range + point (rpvnet.py:649-651) ----
+        # ---- fusion 0 (rpvnet.py:649-651) ----
         z0 = (
             devoxelize(x0, topo.devox[1])
-            + devoxelize(r_stem[0].reshape(-1, r_stem.shape[-1]), rpv.sample_s1)
+            + to_point(r_x0, 1)
             + PointTransform(cs[0], axis_name=self.axis_name, name="pt0")(
                 feats, pvalid, train
             )
         )
 
-        # ---- voxel encoder/decoder on fused point features ----
+        # ---- encoders: voxel on point_to_voxel(z0), range on
+        # point_to_range(z0) (rpvnet.py:653-664) ----
         inv1, tab1 = topo.point_vox[1]
-        x = voxelize_avg(z0, inv1, tab1).astype(self.compute_dtype)
+        x = voxelize_avg(z0, inv1, tab1).astype(dt)
         enc = [x0]
         for l in range(1, 5):
             x = ConvBNReLU(
@@ -161,49 +212,79 @@ class RPVNet(nn.Module):
                       f"stage{l}")
             enc.append(x)
         x1, x2, x3, x4 = enc[1], enc[2], enc[3], enc[4]
+        r_x4, r_skips = RangeEncoder(
+            base=cs[0], mid=cs[4], name="range_encoder"
+        )(to_range(z0, 1), train)
 
-        # ---- fusion 1: encoder outputs meet at points (rpvnet.py:665-668)
-        z1 = devoxelize(x4, topo.devox[16]) + PointTransform(
-            cs[4], axis_name=self.axis_name, name="pt1"
-        )(z0, pvalid, train)
+        # ---- fusion 1 (rpvnet.py:665-668) ----
+        z1 = (
+            devoxelize(x4, topo.devox[16])
+            + to_point(r_x4, 16)
+            + PointTransform(cs[4], axis_name=self.axis_name, name="pt1")(
+                z0, pvalid, train
+            )
+        )
 
         inv16, tab16 = topo.point_vox[16]
-        y = voxelize_avg(z1, inv16, tab16).astype(self.compute_dtype)
+        y = voxelize_avg(z1, inv16, tab16).astype(dt)
         y = nn.Dropout(self.dropout_p)(y, deterministic=not train)
 
         def up(x, lvl, skip, out_ch, n_blocks, name):
-            h = ConvBNReLU(
+            hh = ConvBNReLU(
                 out_ch, 8, transposed=True, axis_name=self.axis_name,
                 name=f"{name}_deconv",
             )(x, (levels[lvl].rb_up, levels[lvl].rb_down), masks[lvl - 1], train)
-            h = jnp.concatenate([h, skip], axis=-1)
-            return stack(h, out_ch, n_blocks, k3[lvl - 1], masks[lvl - 1],
+            hh = jnp.concatenate([hh, skip], axis=-1)
+            return stack(hh, out_ch, n_blocks, k3[lvl - 1], masks[lvl - 1],
                          f"{name}_blocks")
 
         y1 = up(y, 4, x3, cs[5], self.num_layer[4], "up1")
         y2 = up(y1, 3, x2, cs[6], self.num_layer[5], "up2")
+        r_y2 = RangeDecoderTop(
+            c_up1=cs[5], c_up2=cs[6], name="range_dec_top"
+        )(to_range(z1, 16), r_skips, train)
 
-        # ---- fusion 2: mid-decoder (rpvnet.py:683-686) ----
-        z2 = devoxelize(y2, topo.devox[4]) + PointTransform(
-            cs[6], axis_name=self.axis_name, name="pt2"
-        )(z1, pvalid, train)
+        # ---- fusion 2 (rpvnet.py:683-686) ----
+        z2 = (
+            devoxelize(y2, topo.devox[4])
+            + to_point(r_y2, 4)
+            + PointTransform(cs[6], axis_name=self.axis_name, name="pt2")(
+                z1, pvalid, train
+            )
+        )
 
         inv4, tab4 = topo.point_vox[4]
-        y = voxelize_avg(z2, inv4, tab4).astype(self.compute_dtype)
+        y = voxelize_avg(z2, inv4, tab4).astype(dt)
         y = nn.Dropout(self.dropout_p)(y, deterministic=not train)
         y3 = up(y, 2, x1, cs[7], self.num_layer[6], "up3")
         y4 = up(y3, 1, x0, cs[8], self.num_layer[7], "up4")
+        r_y4 = RangeDecoderBottom(
+            c_up3=cs[7], c_up4=cs[8], name="range_dec_bottom"
+        )(to_range(z2, 4), r_skips, train)
 
-        # ---- fusion 3: final voxel + range decoder + point ----
-        r3 = devoxelize(r_out[0].reshape(-1, r_out.shape[-1]), rpv.sample_s1b)
-        r3 = nn.Dense(cs[8], name="range_proj3")(r3)  # match channel widths
+        # ---- fusion 3 (rpvnet.py:701-704) ----
         z3 = (
             devoxelize(y4, topo.devox[1])
-            + r3
+            + to_point(r_y4, 1)
             + PointTransform(cs[8], axis_name=self.axis_name, name="pt3")(
                 z2, pvalid, train
             )
         )
 
-        z = jnp.concatenate([z1, z2, z3], axis=-1).astype(jnp.float32)
-        return nn.Dense(self.num_classes, name="classifier")(z)
+        zcat = jnp.concatenate([z1, z2, z3], axis=-1).astype(jnp.float32)
+        if self.multi_scale == "sum":
+            zsum = (
+                nn.Dense(cs[8], name="l1")(z1.astype(jnp.float32))
+                + nn.Dense(cs[8], name="l2")(z2.astype(jnp.float32))
+                + z3.astype(jnp.float32)
+            )
+            return nn.Dense(self.num_classes, name="classifier")(zsum)
+        if self.multi_scale == "se":
+            attn = jnp.mean(
+                jnp.where(pvalid[:, None], zcat, 0.0), axis=0
+            ) / jnp.maximum(jnp.sum(pvalid), 1)
+            attn = nn.sigmoid(
+                nn.Dense(zcat.shape[-1], name="attn")(attn)
+            )
+            zcat = zcat * attn[None, :]
+        return nn.Dense(self.num_classes, name="classifier")(zcat)

@@ -106,3 +106,15 @@ def test_cli_tiaf(monkeypatch, tmp_path):
     import json
     metrics = list((tmp_path / "output").rglob("metrics/*.jsonl"))
     assert metrics
+
+
+def test_cli_rpvnet_fusion(monkeypatch, tmp_path):
+    """RPVNet trains end-to-end through the CLI with the fusion data path
+    (range image + pxpy collate; round-1 review item 5)."""
+    run_cli(
+        monkeypatch, tmp_path,
+        ["--cfg_file",
+         str(REPO / "tools/cfgs/fusion/synthetic/rpvnet_tiny.yaml"),
+         "--epochs", "1"],
+    )
+    assert list((tmp_path / "output").rglob("checkpoint_epoch_0"))

@@ -71,9 +71,12 @@ def main():
     # MODALITY x MODEL dispatch (reference pcseg/data/__init__.py:73-121 +
     # docs/TASeg_Sem.md staged pipeline: every family drives through here)
     modality = str(cfg.get("MODALITY", "voxel"))
-    pipeline_kind = (
-        "cylinder" if cfg.MODEL["NAME"] == "Cylinder_TS" else None
-    )
+    if cfg.MODEL["NAME"] == "Cylinder_TS":
+        pipeline_kind = "cylinder"
+    elif cfg.MODEL["NAME"] == "RPVNet":
+        pipeline_kind = "fusion"
+    else:
+        pipeline_kind = None
     train_loader = build_dataloader(
         cfg.DATA, training=True, n_shards=n_shards,
         scans_per_shard=scans_per_shard,
