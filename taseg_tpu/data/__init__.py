@@ -131,6 +131,22 @@ def build_reader(data_cfgs, training: bool):
             flexible_steps=data_cfgs.get("FLEXIBLE_STEPS", None),
             pseudo_label_root=data_cfgs.get("PSEUDO_LABEL_ROOT", None),
         )
+    if dataset == "nuscenes_ms_mm":
+        from .nuscenes.reader_mm import NuscenesTiafReader
+
+        return NuscenesTiafReader(
+            data_cfgs["DATA_PATH"],
+            split="train" if training else "val",
+            samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
+            multiscan=data_cfgs.get("MULTISCAN", 15),
+            step=data_cfgs.get("STEP", 1.0),
+            flexible_steps=data_cfgs.get("FLEXIBLE_STEPS", None),
+            pseudo_label_root=data_cfgs.get("PSEUDO_LABEL_ROOT", None),
+            multiscan_image=data_cfgs.get("MULTISCAN_IMAGE", 0),
+            step_image=data_cfgs.get("STEP_IMAGE", 7),
+            image_height=data_cfgs.get("IMAGE_HEIGHT", 448),
+            image_width=data_cfgs.get("IMAGE_WIDTH", 800),
+        )
     if dataset == "waymo":
         return WaymoReader(
             data_cfgs["DATA_PATH"],

@@ -158,8 +158,9 @@ def polarmix(
 
     pts, lbl = points_a, labels_a
     if swap_flag:
-        yaw_a = np.arctan2(points_a[:, 1], points_a[:, 0])
-        yaw_b = np.arctan2(points_b[:, 1], points_b[:, 0])
+        # reference PolarMix uses -arctan2 (PolarMix_semantickitti.py:13-14)
+        yaw_a = -np.arctan2(points_a[:, 1], points_a[:, 0])
+        yaw_b = -np.arctan2(points_b[:, 1], points_b[:, 0])
         in_a = (yaw_a > alpha) & (yaw_a < beta)
         in_b = (yaw_b > alpha) & (yaw_b < beta)
         pts = np.concatenate([points_a[~in_a], points_b[in_b]], axis=0)

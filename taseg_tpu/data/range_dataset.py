@@ -25,7 +25,15 @@ from .semantickitti.laserscan import project_labels, project_scan
 
 # rare/thing classes receiving RangePaste (train ids; reference rv.py:215-280)
 RANGE_PASTE_CLASSES = (2, 3, 4, 5, 6, 7, 8, 12, 16, 18, 19)
-RANGE_MIX_GRIDS = ((2, 1), (3, 1), (4, 1), (5, 1), (6, 1))  # mixtureV2-style
+# the reference MixTeacher 'mixtureV2' strategy grid — 17 col x row
+# combinations (semantickitti_rv.py:388); (rows, cols) per entry
+RANGE_MIX_GRIDS = (
+    (3, 1), (4, 1), (5, 1), (6, 1),
+    (3, 2), (4, 2), (5, 2), (6, 2),
+    (3, 3), (4, 3), (5, 3), (6, 3),
+    (3, 4), (4, 4), (5, 4), (6, 4),
+    (4, 6),
+)
 
 
 def range_shift(scan, label, mask, split: int):

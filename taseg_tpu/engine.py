@@ -32,7 +32,7 @@ from .parallel import (
     make_train_step,
 )
 from .utils.common import StepTimer, create_logger
-from .utils.metrics import miou_from_hist, per_class_iou
+from .utils.metrics import format_confusion, miou_from_hist, per_class_iou
 from .utils.tb import MetricsWriter
 
 
@@ -507,6 +507,23 @@ class Trainer:
                     )
 
     def train_one_epoch(self, epoch: int, rng) -> dict:
+        import contextlib
+        import os
+
+        # structured tracing: TASEG_PROFILE_DIR=<dir> captures a JAX
+        # profiler trace of the first epoch (xprof-compatible; the TPU
+        # analogue of the reference's torch.autograd.profiler usage in
+        # ts!examples/performance.py)
+        prof_dir = os.environ.get("TASEG_PROFILE_DIR")
+        ctx = (
+            jax.profiler.trace(prof_dir)
+            if prof_dir and epoch == self.start_epoch
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            return self._train_one_epoch_inner(epoch, rng)
+
+    def _train_one_epoch_inner(self, epoch: int, rng) -> dict:
         timer = StepTimer()
         losses = []
         for it, (arrays, _meta) in enumerate(self.train_loader):
@@ -707,5 +724,9 @@ class Trainer:
         self.logger.info(
             "eval per-class IoU:\n" + "\n".join(lines) + f"\nmIoU {miou:.2f} "
             f"({n_batches} batches, {dt:.1f}s)"
+        )
+        self.logger.info(
+            "row-normalized confusion matrix:\n"
+            + format_confusion(hist, names)
         )
         return {"miou": miou, "hist": hist, "iou": iou}

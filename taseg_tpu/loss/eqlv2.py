@@ -154,3 +154,44 @@ def group_softmax_fgbg_loss(
     )[:, 0]
     fgbg = jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1e-8)
     return base + fgbg
+
+
+def geo_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    xyz: jnp.ndarray,
+    *,
+    nsample: int = 10,
+    max_points: int = 4096,
+    lam: float = 1.0,
+    alpha: float = 0.5,
+    rng_key=None,
+) -> jnp.ndarray:
+    """Local-geometric-anisotropy weighted NLL (reference
+    `pcseg/loss/geo_loss.py`): each point's CE is reweighted by the
+    fraction of its K nearest neighbors with a DIFFERENT label —
+    boundary points weigh more.  The reference runs pointops.knnquery
+    over every point; here the loss is evaluated on a fixed-size subset
+    (static shapes) with a brute-force distance matrix, which matches in
+    expectation at a fraction of the cost."""
+    n, c = logits.shape
+    idx = jnp.arange(n)
+    if rng_key is not None:
+        idx = jax.random.permutation(rng_key, n)
+    sub = idx[:max_points]
+    sv = valid[sub]
+    sl = jnp.clip(labels[sub], 0, c - 1)
+    sx = xyz[sub]
+    d2 = jnp.sum((sx[:, None, :] - sx[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(sv[None, :], d2, jnp.inf)
+    d2 = d2.at[jnp.arange(len(sub)), jnp.arange(len(sub))].set(jnp.inf)
+    _, nn = jax.lax.top_k(-d2, nsample)
+    knn_labels = sl[nn]  # (S, nsample)
+    lga = jnp.sum(knn_labels != sl[:, None], axis=1).astype(jnp.float32)
+    w = (lam + alpha * lga) / nsample
+    m = sv.astype(jnp.float32)
+    w = w / (jnp.sum(w * m) / jnp.maximum(jnp.sum(m), 1.0))
+    lp = jax.nn.log_softmax(logits[sub].astype(jnp.float32), axis=1)
+    nll = -jnp.take_along_axis(lp, sl[:, None], axis=1)[:, 0]
+    return jnp.sum(nll * w * m) / jnp.maximum(jnp.sum(m), 1.0)

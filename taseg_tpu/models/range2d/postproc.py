@@ -76,3 +76,83 @@ def knn_postprocess(
     direct = proj_argmax[py, px]
     has_vote = jnp.sum(jnp.sum(votes, axis=1), axis=-1) > 0
     return jnp.where(has_vote, voted, direct)
+
+
+def border_mask(
+    label_img: jnp.ndarray,
+    *,
+    border_size: int = 1,
+    kern_conn: int = 4,
+    background_class: int | None = 0,
+) -> jnp.ndarray:
+    """(H, W) int labels -> (H, W) bool border pixels.
+
+    Capability match of the reference borderMask module
+    (`range/rangenet/postproc/borderMask.py:92-195`): a pixel is border
+    when erosion (min over the 4- or 8-connected neighborhood, repeated
+    `border_size` times) changes its class region; the background class is
+    excluded so label/unlabeled transitions do not double-count."""
+    lab = label_img
+    if background_class is not None:
+        # dilate real classes over the background first (reference :151)
+        for _ in range(border_size):
+            neigh = _neighbor_stack(lab, kern_conn)
+            fill = jnp.max(neigh, axis=0)
+            lab = jnp.where(lab == background_class, fill, lab)
+    eroded = lab
+    for _ in range(border_size):
+        neigh = _neighbor_stack(eroded, kern_conn)
+        same = jnp.all(neigh == eroded[None], axis=0)
+        eroded = jnp.where(same, eroded, -1)
+    border = eroded != lab
+    if background_class is not None:
+        border = border & (label_img != background_class)
+    return border
+
+
+def _neighbor_stack(x: jnp.ndarray, kern_conn: int) -> jnp.ndarray:
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if kern_conn == 8:
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    return jnp.stack(
+        [jnp.roll(jnp.roll(x, dy, 0), dx, 1) for dy, dx in offs]
+    )
+
+
+def crf_refine(
+    prob: jnp.ndarray,
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    *,
+    iters: int = 3,
+    win_h: int = 3,
+    win_w: int = 5,
+    sigma_xyz: float = 0.7,
+    compat: float = 1.0,
+) -> jnp.ndarray:
+    """Locally-connected CRF refinement over the range image.
+
+    Capability match of the reference CRF post-processor
+    (`range/rangenet/postproc/CRF.py:12-140`): each iteration computes a
+    gaussian-in-xyz weighted neighborhood average of the class scores
+    (the LocallyConnectedXYZLayer) and sharpens the unaries against it.
+    prob: (H, W, C) softmax scores; xyz: (H, W, 3); mask: (H, W)."""
+    m = mask.astype(prob.dtype)[..., None]
+    p = prob * m
+    offs = [
+        (dy, dx)
+        for dy in range(-(win_h // 2), win_h // 2 + 1)
+        for dx in range(-(win_w // 2), win_w // 2 + 1)
+        if not (dy == 0 and dx == 0)
+    ]
+    for _ in range(iters):
+        msg = jnp.zeros_like(p)
+        for dy, dx in offs:
+            sx = jnp.roll(jnp.roll(xyz, dy, 0), dx, 1)
+            sp = jnp.roll(jnp.roll(p, dy, 0), dx, 1)
+            d2 = jnp.sum((xyz - sx) ** 2, axis=-1, keepdims=True)
+            w = jnp.exp(-d2 / (2.0 * sigma_xyz**2))
+            msg = msg + w * sp
+        logit = jnp.log(jnp.clip(p, 1e-8, 1.0)) + compat * msg
+        p = jax.nn.softmax(logit, axis=-1) * m
+    return p

@@ -51,3 +51,20 @@ def miou_from_hist(hist: np.ndarray, ignore_index: int = 0) -> float:
     keep[ignore_index] = False
     vals = iou[keep]
     return float(np.nanmean(vals) * 100.0)
+
+
+def format_confusion(hist, names, max_cols: int = 26) -> str:
+    """Row-normalized confusion-matrix table (reference train.py:588-609,
+    PrettyTable replaced with plain fixed-width text)."""
+    import numpy as np
+
+    h = np.asarray(hist, np.float64)
+    rows = h / np.maximum(h.sum(axis=1, keepdims=True), 1.0)
+    n = min(len(names), max_cols)
+    short = [str(nm)[:6] for nm in names[:n]]
+    head = " " * 12 + " ".join(f"{s:>6s}" for s in short)
+    lines = [head]
+    for i in range(n):
+        vals = " ".join(f"{100 * rows[i, j]:6.1f}" for j in range(n))
+        lines.append(f"{short[i]:>10s}: {vals}")
+    return "\n".join(lines)

@@ -117,3 +117,32 @@ def test_focal_and_dice_finite():
     )
     total = crit(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(valid))
     assert np.isfinite(float(total)) and float(total) > 0
+
+
+def test_geo_loss_weights_boundaries():
+    """geo_loss (reference pcseg/loss/geo_loss.py): points whose neighbors
+    disagree get higher weight -> a boundary-heavy prediction error costs
+    more than an interior one."""
+    import jax.numpy as jnp
+
+    from taseg_tpu.loss.eqlv2 import geo_loss
+
+    rng = np.random.default_rng(0)
+    n, c = 512, 4
+    xyz = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+    labels = (xyz[:, 0] > 5).astype(np.int32) + 1  # plane boundary at x=5
+    logits = np.full((n, c), -2.0, np.float32)
+    logits[np.arange(n), labels] = 2.0
+    # corrupt 20 boundary points vs 20 interior points
+    boundary = np.argsort(np.abs(xyz[:, 0] - 5))[:20]
+    interior = np.argsort(-np.abs(xyz[:, 0] - 5))[:20]
+    lb = logits.copy()
+    lb[boundary] = -lb[boundary]
+    li = logits.copy()
+    li[interior] = -li[interior]
+    valid = jnp.ones(n, bool)
+    l_b = float(geo_loss(jnp.asarray(lb), jnp.asarray(labels), valid,
+                         jnp.asarray(xyz), max_points=512))
+    l_i = float(geo_loss(jnp.asarray(li), jnp.asarray(labels), valid,
+                         jnp.asarray(xyz), max_points=512))
+    assert l_b > l_i

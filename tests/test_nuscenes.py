@@ -207,3 +207,70 @@ def test_nuscenes_submission_roundtrip(tmp_path):
     j = write_nuscenes_submission_json(tmp_path)
     meta = json.load(open(j))["meta"]
     assert meta == NUSCENES_SUBMISSION_META
+
+
+def test_nuscenes_tiaf_reader(nusc_root):
+    """6-camera TIAF reader (reference nuscenes_ms_mm.py:72-73, 194+):
+    camera records from the info pkl, per-camera frustum projection of
+    the fused cloud, MM-pipeline contract."""
+    pytest.importorskip("PIL")
+    import pickle as pkl
+
+    from PIL import Image
+
+    from taseg_tpu.data.nuscenes.reader_mm import (
+        CAMERAS,
+        NuscenesTiafReader,
+    )
+
+    root = nusc_root
+    # extend the fixture's keyframe infos with two camera records each
+    info_path = root / "nuscenes_infos_val.pkl"
+    data = pkl.load(open(info_path, "rb"))
+    rng = np.random.default_rng(0)
+    (root / "samples" / "CAM_FRONT").mkdir(exist_ok=True, parents=True)
+    (root / "samples" / "CAM_BACK").mkdir(exist_ok=True, parents=True)
+    k_int = np.array([[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]])
+    for i, info in enumerate(data["infos"]):
+        cams = {}
+        for cam_name, fwd in (("CAM_FRONT", 1.0), ("CAM_BACK", -1.0)):
+            img_file = root / "samples" / cam_name / f"{i:04d}.jpg"
+            Image.fromarray(
+                rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+            ).save(img_file)
+            # camera at origin looking along +/-x: sensor2lidar rotation
+            # maps camera axes (x right, y down, z forward) to lidar
+            rot = np.array(
+                [[0, 0, fwd], [-fwd, 0, 0], [0, -1, 0]], np.float64
+            ).T
+            cams[cam_name] = {
+                "data_path": str(img_file),
+                "sensor2lidar_rotation": rot,
+                "sensor2lidar_translation": np.zeros(3),
+                "cam_intrinsic": k_int,
+                "width": 64,
+                "height": 48,
+            }
+        info["cams"] = cams
+    pkl.dump(data, open(info_path, "wb"))
+
+    r = NuscenesTiafReader(
+        str(root), split="val", multiscan=2, step=0.5,
+        image_height=48, image_width=64, image_jitter=False,
+    )
+    out = r[2]
+    n_img = out["images"].shape[0]
+    assert out["images"].shape[1:] == (48, 64, 3)
+    assert out["image_labels"].shape == (n_img, 48, 64)
+    assert out["fov_mask"].sum() > 0
+    rc = out["fov_rowcol"]
+    assert rc.shape == (int(out["fov_mask"].sum()), 2)
+    assert rc[:, 0].max() < n_img * 48 and rc[:, 1].max() < 64
+
+    # pipeline integration
+    from taseg_tpu.data.voxel_mm import MsMmVoxelPipeline
+
+    pipe = MsMmVoxelPipeline(voxel_size=0.4, training=False,
+                             in_feature_dim=5)
+    mm = pipe(out)
+    assert mm.fov_rowcol.shape == (len(mm.fov.coords), 2)

@@ -157,3 +157,30 @@ def test_cenet_fidnet_rangenet_forward():
     rn = RangeNet(num_classes=20, layers=(1, 1, 2, 2, 1))
     v = rn.init({"params": jax.random.PRNGKey(0)}, scan, False)
     assert rn.apply(v, scan, False).shape == (1, 16, 64, 20)
+
+
+def test_border_mask_and_crf():
+    """borderMask + CRF post-processors (reference rangenet/postproc)."""
+    import jax.numpy as jnp
+
+    from taseg_tpu.models.range2d.postproc import border_mask, crf_refine
+
+    lab = np.zeros((16, 16), np.int32)
+    lab[:, 8:] = 2
+    lab[4:12, 2:6] = 1
+    b = np.asarray(border_mask(jnp.asarray(lab), background_class=None))
+    assert b[4, 2] and b[11, 5]          # region boundary pixels
+    assert not b[8, 4] and not b[2, 12]  # interior pixels
+    assert 0 < b.sum() < lab.size // 2
+
+    rng = np.random.default_rng(0)
+    prob = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(16, 16, 4)).astype(np.float32)), -1
+    )
+    xyz = jnp.asarray(rng.normal(size=(16, 16, 3)).astype(np.float32))
+    mask = jnp.ones((16, 16))
+    out = crf_refine(prob, xyz, mask, iters=2)
+    o = np.asarray(out)
+    assert o.shape == (16, 16, 4)
+    assert np.isfinite(o).all()
+    np.testing.assert_allclose(o.sum(-1), 1.0, atol=1e-3)
