@@ -619,11 +619,7 @@ class Trainer:
         train.py:452-611) and predictions can be written as submission /
         pseudo-mask label files."""
         if self.kind == "range":
-            raise NotImplementedError(
-                "raw-point eval for the range modality goes through the "
-                "projected-pixel evaluate() + KNN post-processing "
-                "(models.range2d.postproc)"
-            )
+            return self._evaluate_points_range(save_path=save_path)
         loader = self.val_loader
         hist = np.zeros((self.num_class, self.num_class), np.int64)
         n_scans = 0
@@ -698,6 +694,54 @@ class Trainer:
 
         miou = miou_from_hist(hist, ignore_index=0)
         self.logger.info(f"point-eval mIoU {miou:.2f} over {n_scans} scans")
+        return {"miou": miou, "hist": hist}
+
+    def _evaluate_points_range(self, *, save_path=None) -> dict:
+        """Raw-point eval for the range modality: per-pixel argmax mapped
+        back to points through the stored (proj_x, proj_y) + the KNN
+        range-consistency cleanup (reference range/utils.py:209-273,
+        rangenet/postproc/KNN.py:36-142)."""
+        import jax.numpy as jnp
+
+        from .models.range2d.postproc import knn_postprocess
+
+        hist = np.zeros((self.num_class, self.num_class), np.int64)
+        n_scans = 0
+        for arrays, meta in self.val_loader:
+            batch = self._to_eval_batch(arrays)
+            _, logits = self.eval_step(
+                self.state.params, self.state.batch_stats, batch
+            )
+            logits = np.asarray(logits)  # (R, B, H, W, C)
+            scans = np.asarray(arrays["scan"])
+            for r, meta_r in enumerate(meta):
+                for b, s in enumerate(meta_r["samples"]):
+                    pix_argmax = logits[r, b].argmax(-1).astype(np.int32)
+                    proj_range = scans[r, b, :, :, 4] * 80.0
+                    pred = np.asarray(knn_postprocess(
+                        jnp.asarray(proj_range),
+                        jnp.asarray(s.unproj_range),
+                        jnp.asarray(pix_argmax),
+                        jnp.asarray(s.proj_x),
+                        jnp.asarray(s.proj_y),
+                        num_classes=self.num_class,
+                    ))
+                    labels = s.point_labels
+                    keep = labels != 0
+                    hist += np.bincount(
+                        labels[keep] * self.num_class
+                        + np.clip(pred[keep], 0, self.num_class - 1),
+                        minlength=self.num_class**2,
+                    ).reshape(self.num_class, self.num_class)
+                    if save_path is not None:
+                        from .utils.submission import save_predictions
+
+                        save_predictions(save_path, s.name, pred)
+                    n_scans += 1
+        miou = miou_from_hist(hist, ignore_index=0)
+        self.logger.info(
+            f"range point-eval (KNN) mIoU {miou:.2f} over {n_scans} scans"
+        )
         return {"miou": miou, "hist": hist}
 
     def evaluate(self, class_names=None) -> dict:

@@ -1,4 +1,5 @@
 """Cylinder3D tests: polar pipeline + asymmetric-kernel model forward."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,8 @@ from taseg_tpu.models.voxel.cylinder3d import (
 )
 from taseg_tpu.models.voxel.backbone_context import UNetCapacities
 from taseg_tpu.ops import PointSet
+
+pytestmark = pytest.mark.slow
 
 
 def test_cylinder_pipeline_polar_grid():

@@ -13,6 +13,8 @@ from taseg_tpu.parallel import make_mesh
 from taseg_tpu.utils.config import Config
 from taseg_tpu.utils.submission import remap_label_files
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg(dataset="synthetic"):
     return Config.wrap(

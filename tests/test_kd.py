@@ -1,6 +1,7 @@
 """Mask-distillation (KD) stage tests: host voxel alignment, pair collate,
 and the teacher/student SPMD train step."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,8 @@ from taseg_tpu.models import MinkUNet, UNetCapacities
 from taseg_tpu.optim import build_optimizer
 from taseg_tpu.parallel import Batch, TrainState, make_mesh
 from taseg_tpu.parallel.kd import KdBatch, make_kd_train_step
+
+pytestmark = pytest.mark.slow
 
 
 def kd_sample(reader, i):

@@ -8,6 +8,8 @@ import pytest
 from taseg_tpu.models import MinkUNet, UNetCapacities, build_unet_topology
 from taseg_tpu.ops import PointSet
 
+pytestmark = pytest.mark.slow
+
 
 def synthetic_points(rng, n_valid, capacity, batches=2, span=40.0):
     pts = np.zeros((capacity, 4), np.float32)

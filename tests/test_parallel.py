@@ -23,6 +23,8 @@ from taseg_tpu.parallel import (
 )
 from taseg_tpu.utils.metrics import miou_from_hist
 
+pytestmark = pytest.mark.slow
+
 NUM_CLASSES = 8
 CAP = 512
 

@@ -1,4 +1,6 @@
+
 """RPVNet + point<->range op tests."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,6 +13,8 @@ from taseg_tpu.models.fusion.rpvnet import RPVNet, build_rpv_context
 from taseg_tpu.models.voxel.backbone_context import (
     UNetCapacities, build_unet_topology,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_point_to_range_mean_and_sample_roundtrip():

@@ -1,4 +1,5 @@
 """SPVCNN forward/grad smoke test."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,8 @@ from taseg_tpu.models.voxel.backbone_context import (
     UNetCapacities, build_unet_topology,
 )
 from taseg_tpu.ops import PointSet
+
+pytestmark = pytest.mark.slow
 
 
 def test_spvcnn_forward_and_grad():

@@ -1,6 +1,7 @@
 """TIAF tests: frustum projection, image-window selection, dilation, and
 the multi-modal model forward with all five loss terms."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,8 @@ from taseg_tpu.models.voxel.backbone_context import (
 )
 from taseg_tpu.models.voxel.minkunet_mm import MinkUNetMsMm
 from taseg_tpu.ops import PointSet, trilinear_table
+
+pytestmark = pytest.mark.slow
 
 
 def test_frustum_projection():
