@@ -24,6 +24,7 @@ from ...ops import (
     IdentityDevoxTable,
     build_reverse_rulebook,
     build_rulebook,
+    build_rulebook_fast,
     build_segment_tables,
     compute_bounds,
     kernel_offsets,

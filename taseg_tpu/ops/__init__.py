@@ -20,6 +20,7 @@ from .quantize import quantize_coords, sparse_quantize
 from .rulebook import (
     build_reverse_rulebook,
     build_rulebook,
+    build_rulebook_fast,
     kernel_offsets,
     make_ntuple,
     spdownsample,
@@ -46,6 +47,7 @@ __all__ = [
     "SparseGrid",
     "build_reverse_rulebook",
     "build_rulebook",
+    "build_rulebook_fast",
     "build_segment_tables",
     "compute_bounds",
     "devoxelize",
