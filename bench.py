@@ -11,14 +11,16 @@ sorts, and prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_SCANS_PER_SEC = 50.0  # BASELINE.json north_star
-BATCH_SCANS = 1  # larger batches amortize fixed costs but multiply the
-# topology sort sizes; XLA compile time for >4M-row sorts is prohibitive
-# on this backend, so the bench measures the single-scan configuration
+# larger batches amortize per-call dispatch + fixed per-level costs; the
+# persistent compile cache makes the bigger-sort executables a one-time
+# cost (override with TASEG_BENCH_BATCH)
+BATCH_SCANS = int(os.environ.get("TASEG_BENCH_BATCH", "1"))
 
 
 def main():

@@ -45,6 +45,54 @@ def batch_from_arrays(arrays: dict) -> Batch:
     )
 
 
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+    )
+
+
+def load_matching_params(dst, src, *, strict: bool = False, logger=None):
+    """Name+shape partial load with wrapper-scope tolerance: a dst leaf
+    matches the src leaf with the identical path, or — when scopes differ
+    (e.g. TIAF wraps the backbone under `main/`) — the unique src leaf
+    whose path is a suffix of the dst path (or vice versa) with the same
+    shape."""
+    flat_src = {
+        _path_str(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(src)[0]
+    }
+    flat_dst, treedef = jax.tree_util.tree_flatten_with_path(dst)
+    by_suffix: dict = {}
+    for k, v in flat_src.items():
+        parts = k.split("/")
+        for i in range(len(parts)):
+            by_suffix.setdefault("/".join(parts[i:]), []).append((k, v))
+    new_leaves, loaded, skipped = [], 0, 0
+    for path_k, leaf in flat_dst:
+        key = _path_str(path_k)
+        cand = flat_src.get(key)
+        if cand is None:
+            # wrapper-scope match: dst suffix must identify ONE src leaf
+            parts = key.split("/")
+            for i in range(1, len(parts)):
+                hits = by_suffix.get("/".join(parts[i:]), [])
+                hits = [v for _, v in hits if np.shape(v) == np.shape(leaf)]
+                if len(hits) == 1:
+                    cand = hits[0]
+                    break
+        if cand is not None and np.shape(cand) == np.shape(leaf):
+            new_leaves.append(jnp.asarray(cand))
+            loaded += 1
+        else:
+            if strict:
+                raise KeyError(f"missing/mismatched param {key}")
+            new_leaves.append(leaf)
+            skipped += 1
+    if logger is not None:
+        logger.info(f"pretrained load: {loaded} matched, {skipped} kept")
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 class Trainer:
     def __init__(
         self,
@@ -460,31 +508,19 @@ class Trainer:
 
     def load_pretrained(self, path: str, strict: bool = False):
         """Partial name+shape-matched parameter load (reference
-        base_segmentors.py:16-26)."""
+        base_segmentors.py:16-26).  Also matches across wrapper scopes so
+        staged recipes work: an FSA MinkUNet checkpoint loads into the
+        TIAF model's `main/...` subtree (the reference remaps ckpt keys
+        for the same purpose, minkunet_ms_kd.py:689-714)."""
         payload = self.ckptr.restore(Path(path).absolute())
         src = payload["state"]["params"] if "state" in payload else payload
-        flat_src = dict(
-            jax.tree_util.tree_flatten_with_path(src)[0]
+        if hasattr(src, "params"):  # restored TrainState object
+            src = src.params
+        self.state = self.state.replace(
+            params=load_matching_params(
+                self.state.params, src, strict=strict, logger=self.logger
+            )
         )
-        flat_dst, treedef = jax.tree_util.tree_flatten_with_path(
-            self.state.params
-        )
-        new_leaves, loaded, skipped = [], 0, 0
-        for path_k, leaf in flat_dst:
-            cand = flat_src.get(path_k)
-            if cand is not None and np.shape(cand) == np.shape(leaf):
-                new_leaves.append(jnp.asarray(cand))
-                loaded += 1
-            else:
-                if strict:
-                    raise KeyError(f"missing/mismatched param {path_k}")
-                new_leaves.append(leaf)
-                skipped += 1
-        params = jax.tree_util.tree_unflatten(
-            treedef, [l for l in new_leaves]
-        )
-        self.state = self.state.replace(params=params)
-        self.logger.info(f"pretrained load: {loaded} matched, {skipped} kept")
 
     # ---------------- loops ---------------------------------------------
     def _check_capacity(self, level_nums: np.ndarray):

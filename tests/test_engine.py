@@ -155,3 +155,32 @@ def test_capacity_overflow_telemetry(tmp_path):
     tr.train_one_epoch(0, jax.random.PRNGKey(0))
     assert tr._capacity_overflows > 0
     assert any("CAPACITY OVERFLOW" in m for m in records)
+
+
+def test_load_matching_params_wrapper_scope():
+    """Staged recipes: an FSA backbone checkpoint must load into the TIAF
+    model's `main/...` subtree by suffix matching (the reference remaps
+    checkpoint keys for the same purpose)."""
+    import jax.numpy as jnp
+
+    from taseg_tpu.engine import load_matching_params
+
+    src = {
+        "stem_0": {"kernel": jnp.ones((3, 4))},
+        "classifier": {"kernel": jnp.full((4, 2), 2.0)},
+    }
+    dst = {
+        "main": {
+            "stem_0": {"kernel": jnp.zeros((3, 4))},
+            "classifier": {"kernel": jnp.zeros((4, 2))},
+        },
+        "image_backbone": {"conv": {"kernel": jnp.zeros((5, 5))}},
+    }
+    out = load_matching_params(dst, src)
+    assert float(out["main"]["stem_0"]["kernel"][0, 0]) == 1.0
+    assert float(out["main"]["classifier"]["kernel"][0, 0]) == 2.0
+    # unmatched leaves keep their values
+    assert float(out["image_backbone"]["conv"]["kernel"][0, 0]) == 0.0
+    # exact-path matches still win
+    out2 = load_matching_params(src, src)
+    assert float(out2["stem_0"]["kernel"][0, 0]) == 1.0
