@@ -51,10 +51,14 @@ from .voxel_dataset import (
 
 def build_reader(data_cfgs, training: bool):
     dataset = data_cfgs.get("DATASET", "synthetic")
+    # reference DATA.TRAINVAL: the submission recipe trains on train+val
+    train_split = (
+        "train_val" if data_cfgs.get("TRAINVAL", False) else "train"
+    )
     if dataset in ("semantickitti", "scribblekitti"):
         return SemanticKittiReader(
             data_cfgs["DATA_PATH"],
-            split="train" if training else "val",
+            split=train_split if training else "val",
             augment=data_cfgs.get("AUGMENT", "GlobalAugment"),
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             if_scribble=(dataset == "scribblekitti"),
@@ -62,7 +66,7 @@ def build_reader(data_cfgs, training: bool):
     if dataset == "semantickitti_ms":
         return MultiScanKittiReader(
             data_cfgs["DATA_PATH"],
-            split="train" if training else "val",
+            split=train_split if training else "val",
             augment=data_cfgs.get("AUGMENT", "GlobalAugment"),
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             multiscan=data_cfgs.get("MULTISCAN", 16),
@@ -74,7 +78,7 @@ def build_reader(data_cfgs, training: bool):
     if dataset == "semantickitti_ms_kd":
         return MsKdKittiReader(
             data_cfgs["DATA_PATH"],
-            split="train" if training else "val",
+            split=train_split if training else "val",
             augment="NoAug",
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             multiscan=data_cfgs.get("MULTISCAN", 16),
@@ -86,7 +90,7 @@ def build_reader(data_cfgs, training: bool):
     if dataset == "semantickitti_ms_ms":
         return SmsaKittiReader(
             data_cfgs["DATA_PATH"],
-            split="train" if training else "val",
+            split=train_split if training else "val",
             augment="NoAug",
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             multiscan=data_cfgs.get("MULTISCAN", 16),
@@ -101,7 +105,7 @@ def build_reader(data_cfgs, training: bool):
 
         return TiafKittiReader(
             data_cfgs["DATA_PATH"],
-            split="train" if training else "val",
+            split=train_split if training else "val",
             augment=data_cfgs.get("AUGMENT", "GlobalAugment"),
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             multiscan=data_cfgs.get("MULTISCAN", 16),
@@ -118,13 +122,13 @@ def build_reader(data_cfgs, training: bool):
     if dataset == "nuscenes":
         return NuscenesReader(
             data_cfgs["DATA_PATH"],
-            split="train" if training else "val",
+            split=train_split if training else "val",
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
         )
     if dataset == "nuscenes_ms":
         return NuscenesMsReader(
             data_cfgs["DATA_PATH"],
-            split="train" if training else "val",
+            split=train_split if training else "val",
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             multiscan=data_cfgs.get("MULTISCAN", 15),
             step=data_cfgs.get("STEP", 1.0),
@@ -136,7 +140,7 @@ def build_reader(data_cfgs, training: bool):
 
         return NuscenesTiafReader(
             data_cfgs["DATA_PATH"],
-            split="train" if training else "val",
+            split=train_split if training else "val",
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             multiscan=data_cfgs.get("MULTISCAN", 15),
             step=data_cfgs.get("STEP", 1.0),
@@ -150,7 +154,7 @@ def build_reader(data_cfgs, training: bool):
     if dataset == "waymo":
         return WaymoReader(
             data_cfgs["DATA_PATH"],
-            split="train" if training else "val",
+            split=train_split if training else "val",
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
         )
     if dataset == "synthetic":

@@ -120,7 +120,7 @@ class SemanticKittiReader:
         path = self.scan_files[self.sample_idx[index]]
         pts, labels = self.load_scan(path)
 
-        if self.split == "train" and self.augment.startswith("GlobalAugment"):
+        if self.split.startswith("train") and self.augment.startswith("GlobalAugment"):
             mode = self.augment.removeprefix("GlobalAugment")  # '', '_L', '_P', '_LP'
             use_l = mode in ("_L", "_LP")
             use_p = mode in ("_P", "_LP")
