@@ -11,6 +11,7 @@ role of `num_workers`/`persistent_workers` in the reference.
 
 from __future__ import annotations
 
+import copy
 import queue
 import threading
 from typing import Iterator, Optional
@@ -55,10 +56,17 @@ def build_reader(data_cfgs, training: bool):
     train_split = (
         "train_val" if data_cfgs.get("TRAINVAL", False) else "train"
     )
+    # DATA.EVAL_SPLIT ('val'|'test') + DATA.SEQUENCES drive the benchmark
+    # submission workflow (reference --seq per-sequence test-split TTA,
+    # train.py:75-76, semantickitti_ms.py:284-290)
+    eval_split = str(data_cfgs.get("EVAL_SPLIT", "val"))
+    eval_seqs = data_cfgs.get("SEQUENCES", None)
     if dataset in ("semantickitti", "scribblekitti"):
         return SemanticKittiReader(
             data_cfgs["DATA_PATH"],
-            split=train_split if training else "val",
+            split=train_split if training else eval_split,
+            sequences=None if training else eval_seqs,
+            split_file=data_cfgs.get("SPLIT_FILE") if training else None,
             augment=data_cfgs.get("AUGMENT", "GlobalAugment"),
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             if_scribble=(dataset == "scribblekitti"),
@@ -66,7 +74,9 @@ def build_reader(data_cfgs, training: bool):
     if dataset == "semantickitti_ms":
         return MultiScanKittiReader(
             data_cfgs["DATA_PATH"],
-            split=train_split if training else "val",
+            split=train_split if training else eval_split,
+            sequences=None if training else eval_seqs,
+            split_file=data_cfgs.get("SPLIT_FILE") if training else None,
             augment=data_cfgs.get("AUGMENT", "GlobalAugment"),
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             multiscan=data_cfgs.get("MULTISCAN", 16),
@@ -78,7 +88,9 @@ def build_reader(data_cfgs, training: bool):
     if dataset == "semantickitti_ms_kd":
         return MsKdKittiReader(
             data_cfgs["DATA_PATH"],
-            split=train_split if training else "val",
+            split=train_split if training else eval_split,
+            sequences=None if training else eval_seqs,
+            split_file=data_cfgs.get("SPLIT_FILE") if training else None,
             augment="NoAug",
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             multiscan=data_cfgs.get("MULTISCAN", 16),
@@ -90,7 +102,9 @@ def build_reader(data_cfgs, training: bool):
     if dataset == "semantickitti_ms_ms":
         return SmsaKittiReader(
             data_cfgs["DATA_PATH"],
-            split=train_split if training else "val",
+            split=train_split if training else eval_split,
+            sequences=None if training else eval_seqs,
+            split_file=data_cfgs.get("SPLIT_FILE") if training else None,
             augment="NoAug",
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             multiscan=data_cfgs.get("MULTISCAN", 16),
@@ -105,7 +119,9 @@ def build_reader(data_cfgs, training: bool):
 
         return TiafKittiReader(
             data_cfgs["DATA_PATH"],
-            split=train_split if training else "val",
+            split=train_split if training else eval_split,
+            sequences=None if training else eval_seqs,
+            split_file=data_cfgs.get("SPLIT_FILE") if training else None,
             augment=data_cfgs.get("AUGMENT", "GlobalAugment"),
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             multiscan=data_cfgs.get("MULTISCAN", 16),
@@ -122,13 +138,13 @@ def build_reader(data_cfgs, training: bool):
     if dataset == "nuscenes":
         return NuscenesReader(
             data_cfgs["DATA_PATH"],
-            split=train_split if training else "val",
+            split=train_split if training else eval_split,
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
         )
     if dataset == "nuscenes_ms":
         return NuscenesMsReader(
             data_cfgs["DATA_PATH"],
-            split=train_split if training else "val",
+            split=train_split if training else eval_split,
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             multiscan=data_cfgs.get("MULTISCAN", 15),
             step=data_cfgs.get("STEP", 1.0),
@@ -140,7 +156,7 @@ def build_reader(data_cfgs, training: bool):
 
         return NuscenesTiafReader(
             data_cfgs["DATA_PATH"],
-            split=train_split if training else "val",
+            split=train_split if training else eval_split,
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
             multiscan=data_cfgs.get("MULTISCAN", 15),
             step=data_cfgs.get("STEP", 1.0),
@@ -154,7 +170,7 @@ def build_reader(data_cfgs, training: bool):
     if dataset == "waymo":
         return WaymoReader(
             data_cfgs["DATA_PATH"],
-            split=train_split if training else "val",
+            split=train_split if training else eval_split,
             samples_per_epoch=data_cfgs.get("SAMPLES_PER_EPOCH", -1),
         )
     if dataset == "synthetic":
@@ -188,6 +204,38 @@ def build_reader(data_cfgs, training: bool):
     raise NotImplementedError(f"dataset {dataset!r}")
 
 
+_LABEL_FIELDS = (
+    "labels", "raw_labels", "label", "point_labels", "image_labels",
+)
+_NESTED_FIELDS = (
+    "voxel", "frame", "fused", "student", "teacher", "ms_pair", "main", "fov",
+)
+
+
+def _as_padding(sample, _memo=None):
+    """Shallow-copy a sample with every label array zeroed (train id 0 is
+    the ignore class), so padded repeats of the final partial batch add
+    nothing to device-side confusion histograms.  `evaluate_points`
+    additionally skips them via meta['padded'], keeping n_scans ==
+    len(dataset) — the reference pads its eval sampler to world size and
+    merges back to exactly len(dataset) results
+    (`pcseg/data/__init__.py:38-58`, `common_utils.py:200-221`)."""
+    _memo = {} if _memo is None else _memo
+    if id(sample) in _memo:  # ms_pair back-references form cycles
+        return _memo[id(sample)]
+    s = copy.copy(sample)
+    _memo[id(sample)] = s
+    for f in _LABEL_FIELDS:
+        v = getattr(s, f, None)
+        if isinstance(v, np.ndarray):
+            setattr(s, f, np.zeros_like(v))
+    for f in _NESTED_FIELDS:
+        v = getattr(s, f, None)
+        if v is not None and not isinstance(v, np.ndarray):
+            setattr(s, f, _as_padding(v, _memo))
+    return s
+
+
 class VoxelLoader:
     """Iterates (arrays dict for parallel.Batch, per-shard metadata)."""
 
@@ -203,7 +251,14 @@ class VoxelLoader:
         seed: int = 0,
         drop_last: bool = True,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """`n_shards` is the PROCESS-LOCAL shard count (local devices).
+        On multi-host, every process builds the same global epoch order
+        (same seed) and takes its own contiguous slice of each global
+        batch — the reference's DistributedSampler semantics
+        (`pcseg/data/__init__.py:134-141`) without any communication."""
         self.reader = reader
         self.pipeline = pipeline
         self.n_shards = n_shards
@@ -212,6 +267,8 @@ class VoxelLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
         self.rng = np.random.default_rng(seed)
         self.epoch = 0
         # KD-stage extras (set by build_dataloader for the kd pipeline)
@@ -226,11 +283,17 @@ class VoxelLoader:
 
     @property
     def scans_per_batch(self) -> int:
+        """Process-LOCAL scans per step (local shards x scans/shard)."""
         return self.n_shards * self.scans_per_shard
 
+    @property
+    def global_scans_per_batch(self) -> int:
+        return self.scans_per_batch * self.process_count
+
     def __len__(self) -> int:
-        n = len(self.reader) // self.scans_per_batch
-        if not self.drop_last and len(self.reader) % self.scans_per_batch:
+        g = self.global_scans_per_batch
+        n = len(self.reader) // g
+        if not self.drop_last and len(self.reader) % g:
             n += 1
         return n
 
@@ -240,7 +303,48 @@ class VoxelLoader:
             self.rng.shuffle(order)
         return order
 
-    def _make_batch(self, idxs):
+    def _local_slice(self, global_idxs):
+        """This process's contiguous slice of one global batch.  Returns
+        (idxs, n_real): `idxs` always holds scans_per_batch entries —
+        positions >= n_real are borrowed padding sources whose labels get
+        zeroed (every process must emit a batch each step even when the
+        final partial global batch leaves it empty)."""
+        l = self.scans_per_batch
+        lo = self.process_index * l
+        local = list(global_idxs[lo: lo + l])
+        n_real = len(local)
+        src = list(global_idxs) or [0]
+        while len(local) < l:
+            local.append(src[len(local) % len(src)])
+        return local, n_real
+
+    def _pad_and_shard(self, samples, n_real):
+        """Pad to the local batch size with repeats, convert every
+        position >= n_real into a label-zeroed padding sample, split into
+        per-shard lists."""
+        while len(samples) < self.scans_per_batch:
+            samples.append(samples[len(samples) % max(n_real, 1)])
+        samples = [
+            s if i < n_real else _as_padding(s)
+            for i, s in enumerate(samples)
+        ]
+        return [
+            samples[r * self.scans_per_shard: (r + 1) * self.scans_per_shard]
+            for r in range(self.n_shards)
+        ]
+
+    def _mark_padding(self, out, n_real):
+        """meta[r]['padded'][b] is True for repeated padding samples."""
+        arrays, meta = out
+        for r, m in enumerate(meta):
+            base = r * self.scans_per_shard
+            m["padded"] = [
+                base + b >= n_real for b in range(len(m["samples"]))
+            ]
+        return arrays, meta
+
+    def _make_batch(self, idxs, n_real=None):
+        n_real = len(idxs) if n_real is None else n_real
         if isinstance(self.pipeline, RangeViewPipeline):
             # range modality: pipeline takes an optional second scan for
             # the mix augmentations
@@ -251,47 +355,35 @@ class VoxelLoader:
                     if self.pipeline.training else None
                 )
                 samples.append(self.pipeline(self.reader[int(i)], other))
-            while len(samples) < self.scans_per_batch:
-                samples.append(samples[len(samples) % len(idxs)])
-            shards = [
-                samples[r * self.scans_per_shard: (r + 1) * self.scans_per_shard]
-                for r in range(self.n_shards)
-            ]
-            return collate_range_batch(shards)
+            shards = self._pad_and_shard(samples, n_real)
+            return self._mark_padding(collate_range_batch(shards), n_real)
         samples = [
             self.pipeline(self.reader[int(i)], aug=self.fixed_aug)
             for i in idxs
         ]
         if samples and isinstance(samples[0], FusionSample):
-            while len(samples) < self.scans_per_batch:
-                samples.append(samples[len(samples) % len(idxs)])
-            shards = [
-                samples[r * self.scans_per_shard: (r + 1) * self.scans_per_shard]
-                for r in range(self.n_shards)
-            ]
-            return collate_fusion_batch(shards, self.point_capacity)
+            shards = self._pad_and_shard(samples, n_real)
+            return self._mark_padding(
+                collate_fusion_batch(shards, self.point_capacity), n_real
+            )
         if samples and isinstance(samples[0], MmVoxelSample):
-            while len(samples) < self.scans_per_batch:
-                samples.append(samples[len(samples) % len(idxs)])
-            shards = [
-                samples[r * self.scans_per_shard: (r + 1) * self.scans_per_shard]
-                for r in range(self.n_shards)
-            ]
-            return collate_mm_batch(
-                shards, self.point_capacity,
-                self.fov_capacity or self.point_capacity,
+            shards = self._pad_and_shard(samples, n_real)
+            return self._mark_padding(
+                collate_mm_batch(
+                    shards, self.point_capacity,
+                    self.fov_capacity or self.point_capacity,
+                ),
+                n_real,
             )
         if samples and isinstance(samples[0], KdVoxelSample):
-            while len(samples) < self.scans_per_batch:
-                samples.append(samples[len(samples) % len(idxs)])
-            shards = [
-                samples[r * self.scans_per_shard: (r + 1) * self.scans_per_shard]
-                for r in range(self.n_shards)
-            ]
-            return collate_kd_batch(
-                shards, self.point_capacity,
-                self.teacher_capacity or self.point_capacity,
-                self.kd_max_voxel,
+            shards = self._pad_and_shard(samples, n_real)
+            return self._mark_padding(
+                collate_kd_batch(
+                    shards, self.point_capacity,
+                    self.teacher_capacity or self.point_capacity,
+                    self.kd_max_voxel,
+                ),
+                n_real,
             )
         if samples and isinstance(samples[0], MsVoxelSample):
             # the device consumes the fused clouds; keep the pair structure
@@ -300,14 +392,10 @@ class VoxelLoader:
             for f, s in zip(fused, samples):
                 f.ms_pair = s  # attach for collate meta
             samples = fused
-        # pad the final partial batch by repeating samples
-        while len(samples) < self.scans_per_batch:
-            samples.append(samples[len(samples) % len(idxs)])
-        shards = [
-            samples[r * self.scans_per_shard : (r + 1) * self.scans_per_shard]
-            for r in range(self.n_shards)
-        ]
-        return collate_batch(shards, self.point_capacity)
+        shards = self._pad_and_shard(samples, n_real)
+        return self._mark_padding(
+            collate_batch(shards, self.point_capacity), n_real
+        )
 
     def iter_tta(self, votes: int, rng_seed: int = 0):
         """Deterministic TTA iteration (public API): yields, per scan-batch,
@@ -323,14 +411,16 @@ class VoxelLoader:
         base_rng = np.random.default_rng(rng_seed)
         tables = [AugParams.tta_vote(v, rng=base_rng) for v in range(votes)]
         order = np.arange(len(self.reader))
-        spb = self.scans_per_batch
+        g = self.global_scans_per_batch
         try:
             for step in range(len(self)):
-                idxs = order[step * spb: (step + 1) * spb]
+                idxs, n_real = self._local_slice(
+                    order[step * g: (step + 1) * g]
+                )
                 per_vote = []
                 for aug in tables:
                     self.fixed_aug = aug
-                    per_vote.append(self._make_batch(idxs))
+                    per_vote.append(self._make_batch(idxs, n_real))
                 yield per_vote
         finally:
             self.fixed_aug = None
@@ -338,7 +428,7 @@ class VoxelLoader:
 
     def __iter__(self) -> Iterator:
         order = self._epoch_order()
-        spb = self.scans_per_batch
+        g = self.global_scans_per_batch
         steps = len(self)
         work = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -346,7 +436,10 @@ class VoxelLoader:
         def producer():
             try:
                 for s in range(steps):
-                    work.put(self._make_batch(order[s * spb : (s + 1) * spb]))
+                    idxs, n_real = self._local_slice(
+                        order[s * g: (s + 1) * g]
+                    )
+                    work.put(self._make_batch(idxs, n_real))
             except Exception as e:  # surface worker errors to the consumer
                 work.put(e)
             finally:
@@ -375,6 +468,8 @@ def build_dataloader(
     point_capacity: Optional[int] = None,
     modality: str = "voxel",
     pipeline_kind: Optional[str] = None,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> VoxelLoader:
     """MODALITY x DATASET dispatch (reference pcseg/data/__init__.py:73-121).
 
@@ -410,6 +505,7 @@ def build_dataloader(
             reader, pipeline,
             n_shards=n_shards, scans_per_shard=scans_per_shard,
             point_capacity=0, shuffle=training, drop_last=training,
+            process_index=process_index, process_count=process_count,
         )
     if pipeline_kind == "fusion":
         pipeline = FusionPipeline(
@@ -430,6 +526,7 @@ def build_dataloader(
             reader, pipeline,
             n_shards=n_shards, scans_per_shard=scans_per_shard,
             point_capacity=cap, shuffle=training, drop_last=training,
+            process_index=process_index, process_count=process_count,
         )
     if pipeline_kind == "cylinder":
         pipeline = CylinderPipeline(
@@ -444,6 +541,7 @@ def build_dataloader(
             reader, pipeline,
             n_shards=n_shards, scans_per_shard=scans_per_shard,
             point_capacity=cap, shuffle=training, drop_last=training,
+            process_index=process_index, process_count=process_count,
         )
     is_ms = str(data_cfgs.get("DATASET", "synthetic")).endswith("_ms")
     is_kd = pipeline_kind == "kd"
@@ -479,6 +577,8 @@ def build_dataloader(
         point_capacity=cap,
         shuffle=training,
         drop_last=training,
+        process_index=process_index,
+        process_count=process_count,
     )
     if is_kd:
         loader.teacher_capacity = int(

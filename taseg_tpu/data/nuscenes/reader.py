@@ -84,13 +84,23 @@ class NuscenesReader:
         self.split = split
         self.class_names = CLASS_NAMES
         self.rng = np.random.default_rng(seed)
-        info_path = info_path or f"nuscenes_infos_{split}.pkl"
-        with open(self.root_path / info_path, "rb") as f:
-            self.infos = pickle.load(f)["infos"]
+        if info_path is not None:
+            info_paths = [info_path]
+        elif split == "train_val":
+            # TRAINVAL: mmdet3d-style info generation only produces per-split
+            # pkls, so concatenate train + val rather than expecting a
+            # nonexistent nuscenes_infos_train_val.pkl.
+            info_paths = ["nuscenes_infos_train.pkl", "nuscenes_infos_val.pkl"]
+        else:
+            info_paths = [f"nuscenes_infos_{split}.pkl"]
+        self.infos = []
+        for ip in info_paths:
+            with open(self.root_path / ip, "rb") as f:
+                self.infos.extend(pickle.load(f)["infos"])
         self._all_idx = np.arange(len(self.infos))
         self.samples_per_epoch = (
             samples_per_epoch
-            if samples_per_epoch > 0 and split == "train"
+            if samples_per_epoch > 0 and split.startswith("train")
             else len(self.infos)
         )
         self.resample()

@@ -53,6 +53,8 @@ class SemanticKittiReader:
         seed: int = 0,
         multiscan_labels: bool = False,
         if_scribble: bool = False,
+        sequences: list | None = None,
+        split_file: str | None = None,
     ):
         self.root_path = Path(root_path)
         self.split = split
@@ -65,11 +67,39 @@ class SemanticKittiReader:
         self.class_names = CLASS_NAMES
         self.rng = np.random.default_rng(seed)
 
+        # explicit sequence override: the reference's per-sequence
+        # submission eval (`--seq`, train.py:75-76) restricts the split's
+        # listing to one benchmark sequence at a time
+        seqs = (
+            [f"{int(s):02d}" for s in sequences]
+            if sequences else SPLIT_SEQS[split]
+        )
         self.scan_files: list[Path] = []
-        for seq in SPLIT_SEQS[split]:
+        for seq in seqs:
             vdir = self.root_path / seq / "velodyne"
             if vdir.is_dir():
                 self.scan_files += sorted(vdir.glob("*.bin"))
+        if split_file:
+            # semi-supervised split list (the reference ships 1/10/20/50%
+            # lists under pcseg/data/split/; shipped verbatim in
+            # taseg_tpu/data/split/).  Lines end in 'SS/velodyne/NNNNNN.bin'
+            # (an absolute cluster prefix precedes them) — filter this
+            # split's listing down to the named frames.
+            sf = Path(split_file)
+            if not sf.exists():
+                sf = (
+                    Path(__file__).resolve().parents[1] / "split" / split_file
+                )
+            wanted = set()
+            for line in sf.read_text().splitlines():
+                line = line.strip()
+                if line:
+                    parts = Path(line).parts
+                    wanted.add((parts[-3], parts[-1]))  # (seq, file)
+            self.scan_files = [
+                p for p in self.scan_files
+                if (p.parent.parent.name, p.name) in wanted
+            ]
         if not self.scan_files:
             raise FileNotFoundError(
                 f"no SemanticKITTI scans under {self.root_path} for split {split}"

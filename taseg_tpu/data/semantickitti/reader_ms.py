@@ -174,7 +174,7 @@ class MultiScanKittiReader(SemanticKittiReader):
         path = self.scan_files[self.sample_idx[index]]
         pts, labels, fused_tf, fused_labels = self._frame_with_fused(path)
 
-        if self.split == "train" and self.augment.startswith("GlobalAugment"):
+        if self.split.startswith("train") and self.augment.startswith("GlobalAugment"):
             coin = self.rng.integers(0, 2)
             other = self.scan_files[self.rng.integers(0, len(self.scan_files))]
             pts2, labels2, fused2_tf, fused2_labels = self._frame_with_fused(other)
@@ -285,7 +285,7 @@ class SmsaKittiReader(MultiScanKittiReader):
         fused_raw = (fused_rawu & 0xFFFF).astype(np.int64)
         fused_inst = (fused_rawu >> 16).astype(np.int32)
 
-        if self.split == "train" and len(fused_pts):
+        if self.split.startswith("train") and len(fused_pts):
             if ((frame_raw == 18) | (frame_raw == 20)).any():
                 pts, frame_raw, fused_pts, fused_raw = static2moving(
                     pts, frame_raw, frame_inst,

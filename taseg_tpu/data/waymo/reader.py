@@ -40,23 +40,34 @@ class WaymoReader:
         self.split = split
         self.class_names = WAYMO_CLASS_NAMES
         self.rng = np.random.default_rng(seed)
-        split_file = split_file or (
-            "train-0-31.txt" if split == "train" else "val-0-7.txt"
-        )
-        listing = self.root_path / split_file
-        if listing.exists():
+        if split_file is not None:
+            split_files = [split_file]
+        elif split == "train_val":  # TRAINVAL submission recipe: both lists
+            split_files = ["train-0-31.txt", "val-0-7.txt"]
+        elif split == "train":
+            split_files = ["train-0-31.txt"]
+        else:
+            split_files = ["val-0-7.txt"]
+        listings = [self.root_path / f for f in split_files]
+        if all(l.exists() for l in listings):
             self.files = [
-                Path(l.strip()) for l in listing.read_text().splitlines()
+                Path(l.strip())
+                for listing in listings
+                for l in listing.read_text().splitlines()
                 if l.strip()
             ]
         else:  # fall back to globbing the first-return directory
-            self.files = sorted((self.root_path / split / "first").glob("*.npy"))
+            globs = ["train", "val"] if split == "train_val" else [split]
+            self.files = sorted(
+                p for g in globs
+                for p in (self.root_path / g / "first").glob("*.npy")
+            )
         if not self.files:
             raise FileNotFoundError(f"no Waymo frames under {self.root_path}")
         self._all_idx = np.arange(len(self.files))
         self.samples_per_epoch = (
             samples_per_epoch
-            if samples_per_epoch > 0 and split == "train"
+            if samples_per_epoch > 0 and split.startswith("train")
             else len(self.files)
         )
         self.resample()

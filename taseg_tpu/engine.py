@@ -27,7 +27,9 @@ from .optim import build_optimizer
 from .parallel import (
     Batch,
     TrainState,
+    local_rows,
     make_eval_step,
+    make_global_batch,
     make_mesh,
     make_train_step,
 )
@@ -93,6 +95,17 @@ def load_matching_params(dst, src, *, strict: bool = False, logger=None):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+
+def _allreduce_hist(hist: np.ndarray) -> np.ndarray:
+    """Sum per-process confusion histograms on multi-host (replaces the
+    reference's pickle-tmpdir gather, common_utils.py:200-221)."""
+    if jax.process_count() == 1:
+        return hist
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(hist)).sum(0)
+
+
 class Trainer:
     def __init__(
         self,
@@ -139,9 +152,14 @@ class Trainer:
         else:
             self.kind = "voxel"
 
-        # linear LR scaling (reference train.py:285)
+        # linear LR scaling over the GLOBAL batch (reference train.py:285
+        # LR = n_gpu x bs/gpu x lr_per_sample; on multi-host the global
+        # batch spans every process)
         lr_per_sample = float(cfg.OPTIM.LR_PER_SAMPLE)
-        scans_per_batch = train_loader.scans_per_batch
+        scans_per_batch = getattr(
+            train_loader, "global_scans_per_batch",
+            train_loader.scans_per_batch,
+        )
         lr = lr_per_sample * scans_per_batch
         optim_cfg = dict(cfg.OPTIM)
         optim_cfg["LR"] = lr
@@ -293,16 +311,21 @@ class Trainer:
                 self.model, self.caps, self.mesh, num_class
             )
         elif self.kind == "range":
-            from .loss.range import semkitti_class_weights
+            from .loss.range import range_class_weights
             from .parallel.range_step import (
                 make_range_eval_step,
                 make_range_train_step,
             )
 
             lw = cfg.MODEL.get("LOSS_CONFIG", {})
+            class_w = range_class_weights(
+                str(cfg.DATA.get("DATASET", "semantickitti")),
+                self.num_class,
+                override=lw.get("CLASS_WEIGHT"),
+            )
             self.train_step = make_range_train_step(
                 self.model, self.tx, self.mesh,
-                jnp.asarray(semkitti_class_weights()[: self.num_class]),
+                jnp.asarray(class_w),
                 top_k_percent=float(lw.get("TOP_K_PERCENT", 1.0)),
                 ls_weight=float(lw.get("LS_WEIGHT", 3.0)),
                 bd_weight=float(lw.get("BD_WEIGHT", 1.0)),
@@ -334,7 +357,12 @@ class Trainer:
         self.logger.info(f"loaded frozen KD teacher from {path}")
 
     def _to_batch(self, arrays: dict):
-        """arrays dict -> the step function's batch pytree, per kind."""
+        """arrays dict -> the step function's batch pytree, per kind.
+        On multi-host the local shard arrays are assembled into global
+        jax.Arrays over the mesh (parallel.make_global_batch)."""
+        return make_global_batch(self.mesh, self._to_local_batch(arrays))
+
+    def _to_local_batch(self, arrays: dict):
         if self.kind == "range":
             from .parallel.range_step import RangeBatch
 
@@ -377,7 +405,9 @@ class Trainer:
 
     def _to_eval_batch(self, arrays: dict):
         if self.kind == "kd" and "student" in arrays:
-            return batch_from_arrays(arrays["student"])
+            return make_global_batch(
+                self.mesh, batch_from_arrays(arrays["student"])
+            )
         return self._to_batch(arrays)
 
     def _init_state(self) -> TrainState:
@@ -393,7 +423,7 @@ class Trainer:
         elif self.kind == "fusion":
             from .parallel.fusion_step import _unpack as _unpack_f
 
-            fb = self._to_batch(arrays)
+            fb = self._to_local_batch(arrays)
 
             def _initf(fb):
                 pts, topo, rpv, canvas = _unpack_f(fb, self.caps)
@@ -405,7 +435,7 @@ class Trainer:
         elif self.kind == "tiaf":
             from .parallel.tiaf import _unpack
 
-            tb = self._to_batch(arrays)
+            tb = self._to_local_batch(arrays)
 
             def _init(tb):
                 main, topo, fov, fov_topo, fov_devox = _unpack(
@@ -611,7 +641,11 @@ class Trainer:
         minkunet.py:436-455 eval loop, host side).  Yields
         (sample, point_logits (N_raw, C))."""
         offsets = meta_r["offsets"]
+        padded = meta_r.get("padded")
         for b, s in enumerate(meta_r["samples"]):
+            if padded and padded[b]:
+                # final-partial-batch repeat: count each scan exactly once
+                continue
             rows = logits_r[offsets[b]: offsets[b + 1]]
             pt_logits = rows[s.inverse_map]
             ms = getattr(s, "ms_pair", None)
@@ -674,7 +708,7 @@ class Trainer:
                 _, logits = self.eval_step(
                     self.state.params, self.state.batch_stats, batch
                 )
-                logits = np.asarray(logits)
+                logits = local_rows(logits)
                 for r, meta_r in enumerate(meta):
                     for sample, pt_logits in self._map_shard_to_points(
                         logits[r], meta_r
@@ -706,7 +740,7 @@ class Trainer:
                     _, logits = self.eval_step(
                         self.state.params, self.state.batch_stats, batch
                     )
-                    logits = np.asarray(logits)
+                    logits = local_rows(logits)
                     for r, meta_r in enumerate(meta):
                         for sample, pt_logits in self._map_shard_to_points(
                             logits[r], meta_r
@@ -728,6 +762,7 @@ class Trainer:
                         self._save_scan(save_path, sample, pred, None)
                     n_scans += 1
 
+        hist = _allreduce_hist(hist)
         miou = miou_from_hist(hist, ignore_index=0)
         self.logger.info(f"point-eval mIoU {miou:.2f} over {n_scans} scans")
         return {"miou": miou, "hist": hist}
@@ -748,10 +783,13 @@ class Trainer:
             _, logits = self.eval_step(
                 self.state.params, self.state.batch_stats, batch
             )
-            logits = np.asarray(logits)  # (R, B, H, W, C)
+            logits = local_rows(logits)  # (R_local, B, H, W, C)
             scans = np.asarray(arrays["scan"])
             for r, meta_r in enumerate(meta):
+                padded = meta_r.get("padded")
                 for b, s in enumerate(meta_r["samples"]):
+                    if padded and padded[b]:
+                        continue
                     pix_argmax = logits[r, b].argmax(-1).astype(np.int32)
                     proj_range = scans[r, b, :, :, 4] * 80.0
                     pred = np.asarray(knn_postprocess(
@@ -774,6 +812,7 @@ class Trainer:
 
                         save_predictions(save_path, s.name, pred)
                     n_scans += 1
+        hist = _allreduce_hist(hist)
         miou = miou_from_hist(hist, ignore_index=0)
         self.logger.info(
             f"range point-eval (KNN) mIoU {miou:.2f} over {n_scans} scans"

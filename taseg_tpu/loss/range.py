@@ -50,6 +50,31 @@ def semkitti_class_weights() -> np.ndarray:
     return w.astype(np.float32)
 
 
+def range_class_weights(
+    dataset: str, num_class: int, override=None
+) -> np.ndarray:
+    """Per-dataset WCE weights for the range branch.
+
+    The reference hardcodes ClassWeightSemikitti for every range config —
+    including its nuScenes CENet recipe (`cenet.py:211`), where the KITTI
+    frequencies are simply wrong.  Here: KITTI inverse-frequency weights
+    for the SemanticKITTI family, uniform weights (ignore class 0) for
+    datasets without measured pixel frequencies, and an explicit
+    `MODEL.LOSS_CONFIG.CLASS_WEIGHT` list override for anything else."""
+    if override is not None:
+        w = np.asarray(override, np.float32)
+        if len(w) != num_class:
+            raise ValueError(
+                f"CLASS_WEIGHT has {len(w)} entries, model has {num_class}"
+            )
+        return w
+    if str(dataset).startswith(("semantickitti", "scribblekitti", "synthetic")):
+        return semkitti_class_weights()[:num_class]
+    w = np.ones(num_class, np.float32)
+    w[0] = 0.0
+    return w
+
+
 def weighted_ce_image(
     logits: jnp.ndarray,
     labels: jnp.ndarray,

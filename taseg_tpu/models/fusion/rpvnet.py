@@ -45,29 +45,45 @@ FUSION_SCALES = (1, 4, 16)  # full res, after up2, encoder bottom
 
 @struct.dataclass
 class RpvContext:
-    """Per-step point<->range tables at every fusion scale."""
+    """Per-step point<->range tables at every fusion scale.
+
+    `h`/`w` are PER-SCAN image dims; `b` is the scan count per shard.  The
+    tables index the stacked-flat (b*hs, ws) canvas (row = scan*hs +
+    y_local — exact because every fusion scale divides h), while the 2D
+    conv branches see a true (b, hs, ws, C) batch so features never bleed
+    across scan boundaries (reference keeps scans in the batch dim too)."""
 
     h: int = struct.field(pytree_node=False)
     w: int = struct.field(pytree_node=False)
+    b: int = struct.field(pytree_node=False, default=1)
     scatter: dict = struct.field(default_factory=dict)  # s -> (ids, tables)
     sample: dict = struct.field(default_factory=dict)  # s -> DevoxTable
 
 
 def build_rpv_context(
-    pxf: jnp.ndarray, pyf: jnp.ndarray, valid, h: int, w: int
+    pxf: jnp.ndarray, pyf: jnp.ndarray, valid, h: int, w: int,
+    *, batch: int = 1,
 ) -> RpvContext:
-    """pxf/pyf: float pixel coords of every point in the FULL-res image."""
+    """pxf/pyf: float pixel coords in the STACKED full-res canvas (rows
+    pre-offset by scan_index*h, `fusion_dataset.collate_fusion_batch`)."""
     scatter, sample = {}, {}
+    band = jnp.clip(
+        jnp.floor(pyf / max(h, 1)).astype(jnp.int32), 0, batch - 1
+    )
     for s in FUSION_SCALES:
         hs, ws = max(h // s, 1), max(w // s, 1)
-        pxs, pys = pxf / s, pyf / s
+        pxs = pxf / s
+        # clamp y inside the point's own scan band so bilinear corners
+        # never land in a neighbouring scan's rows
+        y_local = jnp.clip(pyf / s - band * hs, 0.0, hs - 1.000001)
+        pys = band * hs + y_local
         scatter[s] = point_to_range_tables(
             jnp.floor(pxs).astype(jnp.int32),
             jnp.floor(pys).astype(jnp.int32),
-            valid, hs, ws,
+            valid, batch * hs, ws,
         )
-        sample[s] = range_sample_table(pxs, pys, valid, hs, ws)
-    return RpvContext(h=h, w=w, scatter=scatter, sample=sample)
+        sample[s] = range_sample_table(pxs, pys, valid, batch * hs, ws)
+    return RpvContext(h=h, w=w, b=batch, scatter=scatter, sample=sample)
 
 
 class RangeStem(nn.Module):
@@ -141,7 +157,7 @@ class RPVNet(nn.Module):
         points: PointSet,
         topo: UNetTopology,
         rpv: RpvContext,
-        range_img: jnp.ndarray,  # (H, W, C_img) projected inputs
+        range_img: jnp.ndarray,  # (B, H, W, C_img) or (H, W, C_img)
         train: bool = False,
     ) -> jnp.ndarray:
         cs = [int(self.cr * x) for x in self.planes]
@@ -165,14 +181,14 @@ class RPVNet(nn.Module):
 
         def to_range(z, scale):
             ids, tables = rpv.scatter[scale]
-            img = point_to_range(
-                z, ids, tables, max(h // scale, 1), max(w // scale, 1)
-            )
-            return img[None].astype(dt)
+            hs, ws = max(h // scale, 1), max(w // scale, 1)
+            img = point_to_range(z, ids, tables, rpv.b * hs, ws)
+            return img.reshape(rpv.b, hs, ws, -1).astype(dt)
 
         def to_point(img, scale):
+            # (B, hs, ws, C) row-major flatten == stacked-canvas layout
             return devoxelize(
-                img[0].reshape(-1, img.shape[-1]), rpv.sample[scale]
+                img.reshape(-1, img.shape[-1]), rpv.sample[scale]
             )
 
         feats = points.feats[:, : self.in_dim]
@@ -186,8 +202,10 @@ class RPVNet(nn.Module):
         x0 = ConvBNReLU(cs[0], 27, axis_name=self.axis_name, name="v_stem1")(
             x0, k3[0], masks[0], train
         )
+        if range_img.ndim == 3:
+            range_img = range_img[None]
         r_x0 = RangeStem(base=cs[0], name="range_stem")(
-            range_img[None].astype(dt), train
+            range_img.astype(dt), train
         )
 
         # ---- fusion 0 (rpvnet.py:649-651) ----

@@ -49,9 +49,12 @@ class UNetCapacities:
     # measured stride-level occupancy fractions on raycast-LiDAR clouds
     # relative to the padded point capacity (120k points -> 92k voxels
     # @0.05m): [0.71, 0.49, 0.18, 0.072, 0.026]; schedule adds ~15-20%
-    # headroom per level.  Overflow (LevelTopo.num > capacity) is surfaced
-    # as telemetry by the engine, never silently ignored.
-    DEFAULT_SCHEDULE = (0.85, 0.60, 0.22, 0.09, 0.035)
+    # headroom per level.  Level 0 stays at 1.0 — dedup can never produce
+    # more voxels than points, so overflow there is impossible by
+    # construction (eval paths carry no overflow telemetry).  Deeper
+    # levels' overflow (LevelTopo.num > capacity) is surfaced as telemetry
+    # by the engine, never silently ignored.
+    DEFAULT_SCHEDULE = (1.0, 0.60, 0.22, 0.09, 0.035)
 
     @staticmethod
     def for_points(

@@ -54,13 +54,26 @@ def _gather_rows(feats: jnp.ndarray, rb: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((rb >= 0)[:, :, None], feats[jnp.clip(rb, 0), :], 0)
 
 
+def _gather_wide(feats: jnp.ndarray, rb: jnp.ndarray) -> jnp.ndarray:
+    """(V, K*C): all K offsets' gathered rows side by side.
+
+    Feeding ONE matmul with contraction dim K*C instead of K matmuls with
+    contraction dim C is the difference between ~35% and near-full MXU
+    utilization when C is narrow (measured 10.6 -> >20 TF/s on v5e for
+    the MinkUNet conv sequence): the 128x128 systolic array is
+    K-dim-starved at C=32."""
+    return jnp.concatenate(
+        [_gather_rows_k(feats, rb[kk]) for kk in range(rb.shape[0])], axis=1
+    )
+
+
 def _conv_fwd_impl(feats, weight, rb):
-    k = rb.shape[0]
+    k, c_in, c_out = weight.shape
     w = weight.astype(feats.dtype)
-    out = jnp.zeros((rb.shape[1], weight.shape[-1]), jnp.float32)
-    for kk in range(k):
-        g = _gather_rows_k(feats, rb[kk])
-        out = out + jnp.dot(g, w[kk], preferred_element_type=jnp.float32)
+    g = _gather_wide(feats, rb)  # (V_out, K*C_in)
+    out = jnp.dot(
+        g, w.reshape(k * c_in, c_out), preferred_element_type=jnp.float32
+    )
     return out.astype(feats.dtype)
 
 
@@ -87,24 +100,22 @@ def _conv_vjp_fwd(feats, weight, rb_fwd, rb_bwd):
 
 def _conv_vjp_bwd(res, g):
     feats, weight, rb_fwd, rb_bwd = res
-    k = rb_fwd.shape[0]
+    k, c_in, c_out = weight.shape
     w = weight.astype(g.dtype)
-    # d_feats: conv of g through the reverse rulebook with W^T;
-    # d_W[k] = gathered_k^T @ g, accumulated in f32 for stability
-    d_feats = jnp.zeros((rb_bwd.shape[1], weight.shape[1]), jnp.float32)
-    d_w = []
-    for kk in range(k):
-        gg = _gather_rows_k(g, rb_bwd[kk])  # (V_in, C_out)
-        d_feats = d_feats + jnp.dot(
-            gg, w[kk].T, preferred_element_type=jnp.float32
-        )
-        in_g = _gather_rows_k(feats, rb_fwd[kk])  # (V_out, C_in)
-        d_w.append(
-            jnp.dot(in_g.T, g, preferred_element_type=jnp.float32)
-        )
+    # d_feats: conv of g through the reverse rulebook with W^T — one wide
+    # matmul (V_in, K*C_out) @ (K*C_out, C_in), pairing rb_bwd[k] <-> W[k]
+    gg = _gather_wide(g, rb_bwd)
+    w_t = jnp.transpose(w, (0, 2, 1)).reshape(k * c_out, c_in)
+    d_feats = jnp.dot(gg, w_t, preferred_element_type=jnp.float32)
+    # d_W: (K*C_in, V_out) @ (V_out, C_out) — contraction over the huge
+    # V dim keeps the MXU saturated
+    in_g = _gather_wide(feats, rb_fwd)
+    d_w = jnp.dot(
+        in_g.T, g, preferred_element_type=jnp.float32
+    ).reshape(k, c_in, c_out)
     return (
         d_feats.astype(feats.dtype),
-        jnp.stack(d_w).astype(weight.dtype),
+        d_w.astype(weight.dtype),
         None,
         None,
     )

@@ -80,6 +80,41 @@ def coswarmup_with_stepdecay(
     return f
 
 
+def _annealing_cos(start, end, pct):
+    import jax.numpy as jnp
+
+    return end + (start - end) / 2 * (jnp.cos(jnp.pi * pct) + 1)
+
+
+def fastai_onecycle(
+    total_steps: int, lr_max: float, moms, div_factor: float,
+    pct_start: float,
+):
+    """fastai OneCycle LR + momentum schedules (reference
+    `learning_schedules_fastai.py:60-78`): cos-anneal lr/div_factor ->
+    lr_max over pct_start, then lr_max -> lr/div_factor/1e4; momentum
+    anneals moms[0] -> moms[1] and back.  Returns (lr_fn, mom_fn)."""
+    a1 = max(int(total_steps * pct_start), 1)
+    a2 = max(total_steps - a1, 1)
+    low = lr_max / div_factor
+
+    def lr_fn(step):
+        import jax.numpy as jnp
+
+        up = _annealing_cos(low, lr_max, step / a1)
+        down = _annealing_cos(lr_max, low / 1e4, (step - a1) / a2)
+        return jnp.where(step < a1, up, down)
+
+    def mom_fn(step):
+        import jax.numpy as jnp
+
+        up = _annealing_cos(moms[0], moms[1], step / a1)
+        down = _annealing_cos(moms[1], moms[0], (step - a1) / a2)
+        return jnp.where(step < a1, up, down)
+
+    return lr_fn, mom_fn
+
+
 def build_schedule(optim_cfg, iters_per_epoch: int, total_epochs: int):
     """Step -> LR-scale schedule from an OPTIM config block."""
     warmup_steps = int(optim_cfg.get("WARMUP_EPOCH", 1)) * iters_per_epoch
@@ -127,6 +162,24 @@ def build_optimizer(
     wd = float(optim_cfg.get("WEIGHT_DECAY", 0.0))
     momentum = float(optim_cfg.get("MOMENTUM", 0.9))
     nesterov = bool(optim_cfg.get("NESTEROV", False))
+    if name == "adam_onecycle":
+        # reference adam_onecycle drives the fastai OneCycle from
+        # OPTIM.MOMS / DIV_FACTOR / PCT_START (`pcseg/optim/__init__.py:
+        # 113-116`) rather than the SCHEDULER key
+        total_steps = max(iters_per_epoch * total_epochs, 1)
+        moms = tuple(float(m) for m in optim_cfg.get("MOMS", (0.95, 0.85)))
+        lr_fn, mom_fn = fastai_onecycle(
+            total_steps, lr, moms,
+            float(optim_cfg.get("DIV_FACTOR", 10.0)),
+            float(optim_cfg.get("PCT_START", 0.4)),
+        )
+        tx = optax.chain(
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.inject_hyperparams(optax.adam)(
+                learning_rate=lr_fn, b1=mom_fn, b2=0.99
+            ),
+        )
+        return optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
     schedule = build_schedule(optim_cfg, iters_per_epoch, total_epochs)
 
     def lr_schedule(step):
@@ -175,8 +228,6 @@ def build_optimizer(
         )
     elif name == "adamW":
         tx = optax.adamw(learning_rate=lr_schedule, weight_decay=wd)
-    elif name == "adam_onecycle":
-        tx = optax.adam(learning_rate=lr_schedule, b1=0.9, b2=0.99)
     else:
         raise NotImplementedError(name)
 

@@ -61,6 +61,44 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices).reshape(-1), (DATA_AXIS,))
 
 
+def make_global_batch(mesh: Mesh, batch_pytree):
+    """Assemble per-process local shard arrays into global jax.Arrays.
+
+    On multi-host, each process's loader produces only its local shards
+    (leading axis = local device count); jitted shard_map over the global
+    mesh requires globally-shaped `jax.Array`s whose addressable shards
+    are the local data — `jax.make_array_from_process_local_data` builds
+    exactly that.  Single-process: identity.  Replaces the reference's
+    DistributedSampler + per-rank DataLoader pair (`common_utils.py:
+    131-175`)."""
+    if jax.process_count() == 1:
+        return batch_pytree
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def conv(x):
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        )
+
+    return jax.tree_util.tree_map(conv, batch_pytree)
+
+
+def local_rows(x):
+    """Per-process rows of a (R, ...) DATA_AXIS-sharded array as numpy,
+    ordered by global shard index.  Single-process: plain np.asarray."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(
+        x.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def batch_pspec() -> Batch:
     return Batch(
         point_coords=P(DATA_AXIS),

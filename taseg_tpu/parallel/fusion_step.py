@@ -1,11 +1,12 @@
 """RPVNet (fusion modality) SPMD train/eval steps.
 
-The per-shard image stack is flattened to one (B*H, W, C) canvas and pxpy
-rows are pre-offset per scan by the collate, so the in-jit context build
-(`models.fusion.rpvnet.build_rpv_context`) and topology (with the SPVCNN
-point-voxel strides) need no ragged handling.  Mirrors the reference
-drive path (`rpvnet.py:632-716` consuming `range_image`/`range_pxpy`
-from `semantickitti_fusion.py:205-207`).
+The per-shard image stack keeps scans in a true batch dimension
+(B, H, W, C) through the 2D range branch — 2D convs/pools must not bleed
+features across scan boundaries — while the point<->range tables index
+the row-major stacked (B*H, W) canvas (pxpy rows are pre-offset per scan
+by the collate).  Mirrors the reference drive path (`rpvnet.py:632-716`
+consuming `range_image`/`range_pxpy` from
+`semantickitti_fusion.py:205-207`).
 """
 
 from __future__ import annotations
@@ -47,14 +48,13 @@ def _unpack(fb: FusionBatch, caps):
     topo = build_unet_topology(
         pts.coords, pts.num, caps, point_voxel_strides=(1, 4, 16)
     )
-    img = fb.range_image[0]
+    img = fb.range_image[0]  # (B, H, W, C): scans stay in the batch dim
     b, h, w, c = img.shape
-    canvas = img.reshape(b * h, w, c)
     rpv = build_rpv_context(
         fb.range_pxpy[0, :, 0], fb.range_pxpy[0, :, 1],
-        pts.valid_mask(), b * h, w,
+        pts.valid_mask(), h, w, batch=b,
     )
-    return pts, topo, rpv, canvas
+    return pts, topo, rpv, img
 
 
 def make_fusion_train_step(

@@ -1,0 +1,74 @@
+"""2-process CPU-mesh multi-host integration test (VERDICT r2 item 4).
+
+Spawns two subprocesses that form a jax.distributed local cluster (2 CPU
+devices each, 4 global), run one SPMD train step through
+`parallel.make_global_batch` and one psum eval, and checks:
+
+  * per-process loaders see DISJOINT scan slices covering the global batch
+    (DistributedSampler semantics, reference pcseg/data/__init__.py:134);
+  * the pmean-ed loss is identical on both processes;
+  * the psum-ed eval histogram is identical on both processes.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_cpu_cluster():
+    port = _free_port()
+    worker = Path(__file__).parent / "multihost_worker.py"
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(worker.parent.parent),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"OK {pid}" in out, out
+
+    def grab(tag, out):
+        for line in out.splitlines():
+            if line.startswith(tag):
+                return line.split(maxsplit=2)[2]
+        raise AssertionError(f"{tag} missing in:\n{out}")
+
+    names0 = set(grab("NAMES 0", outs[0]).split(","))
+    names1 = set(grab("NAMES 1", outs[1]).split(","))
+    assert names0 and names1
+    assert not (names0 & names1), "processes must read disjoint scans"
+
+    loss0 = float(grab("LOSS 0", outs[0]))
+    loss1 = float(grab("LOSS 1", outs[1]))
+    assert loss0 == pytest.approx(loss1, rel=1e-5), (loss0, loss1)
+
+    hist0 = int(grab("HIST 0", outs[0]))
+    hist1 = int(grab("HIST 1", outs[1]))
+    assert hist0 == hist1 and hist0 > 0

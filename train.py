@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER,
                    default=[], help="dotted-path config overrides")
     p.add_argument("--eval", action="store_true", help="evaluate only")
+    p.add_argument("--seq", type=int, default=None,
+                   help="restrict eval to one sequence (11-21 selects the "
+                        "label-free test split for benchmark submissions)")
     p.add_argument("--tta", action="store_true", help="rotation-vote TTA")
     p.add_argument("--votes_min", type=int, default=0)
     p.add_argument("--votes_max", type=int, default=10)
@@ -56,6 +59,12 @@ def main():
     cfg = load_config(args.cfg_file)
     if args.set_cfgs:
         cfg = apply_overrides(cfg, args.set_cfgs)
+    if args.seq is not None:
+        # per-sequence submission eval (reference train.py:75-76): test
+        # sequences 11-21 are label-free, the eval loader serves them via
+        # DATA.EVAL_SPLIT + DATA.SEQUENCES
+        cfg.DATA["SEQUENCES"] = [args.seq]
+        cfg.DATA["EVAL_SPLIT"] = "test" if args.seq >= 11 else "val"
 
     out_dir = Path("output") / cfg.TAG / args.extra_tag
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -63,9 +72,15 @@ def main():
     logger.info(f"devices: {jax.devices()}")
 
     mesh = make_mesh()
-    n_shards = len(jax.devices())
+    # loaders produce PROCESS-LOCAL shards; on multi-host the engine
+    # assembles them into global arrays (parallel.make_global_batch) and
+    # each process reads a distinct slice of the global epoch order
+    n_shards = jax.local_device_count()
     scans_per_shard = args.batch_size or int(
         cfg.OPTIM.get("BATCH_SIZE_PER_GPU", 2)
+    )
+    proc_kw = dict(
+        process_index=jax.process_index(), process_count=jax.process_count()
     )
 
     # MODALITY x MODEL dispatch (reference pcseg/data/__init__.py:73-121 +
@@ -80,13 +95,13 @@ def main():
     train_loader = build_dataloader(
         cfg.DATA, training=True, n_shards=n_shards,
         scans_per_shard=scans_per_shard,
-        modality=modality, pipeline_kind=pipeline_kind,
+        modality=modality, pipeline_kind=pipeline_kind, **proc_kw,
     )
     val_loader = build_dataloader(
         cfg.DATA, training=False, n_shards=n_shards,
         scans_per_shard=scans_per_shard,
         point_capacity=train_loader.point_capacity,
-        modality=modality, pipeline_kind=pipeline_kind,
+        modality=modality, pipeline_kind=pipeline_kind, **proc_kw,
     )
 
     trainer = Trainer(
@@ -98,9 +113,15 @@ def main():
         trainer.load_pretrained(args.pretrained_model)
     if cfg.MODEL.get("TEACHER_CKPT"):
         trainer.load_teacher(cfg.MODEL["TEACHER_CKPT"])
-    trainer.resume_latest()
+    resumed = trainer.resume_latest()
 
     if args.eval:
+        if not resumed and not args.pretrained_model:
+            logger.warning(
+                "--eval with no checkpoint in %s and no "
+                "--pretrained_model: evaluating RANDOM weights",
+                trainer.ckpt_dir,
+            )
         if args.tta or args.save_path:
             trainer.evaluate_points(
                 tta_votes=(args.votes_max - args.votes_min) if args.tta else 0,
