@@ -544,12 +544,26 @@ class Trainer:
         for the same purpose, minkunet_ms_kd.py:689-714)."""
         payload = self.ckptr.restore(Path(path).absolute())
         src = payload["state"]["params"] if "state" in payload else payload
+        stats_src = None
         if hasattr(src, "params"):  # restored TrainState object
+            stats_src = getattr(src, "batch_stats", None)
             src = src.params
+        elif isinstance(src, dict) and "params" in src:
+            # converted reference checkpoint (convert_torchsparse_ckpt.py)
+            stats_src = src.get("batch_stats")
+            src = src["params"]
+        elif "state" in payload:
+            stats_src = payload["state"].get("batch_stats")
+        new_stats = self.state.batch_stats
+        if stats_src:
+            new_stats = load_matching_params(
+                new_stats, stats_src, strict=False, logger=self.logger
+            )
         self.state = self.state.replace(
             params=load_matching_params(
                 self.state.params, src, strict=strict, logger=self.logger
-            )
+            ),
+            batch_stats=new_stats,
         )
 
     # ---------------- loops ---------------------------------------------
