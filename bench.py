@@ -4,8 +4,12 @@ per-point head), the BASELINE.json north-star metric (target >= 50).
 
 Runs the flagship single-frame config (MinkUNet mk34 cr1.0 ResBlock,
 SemanticKITTI-scale synthetic scans, ~119k voxels/scan at 0.05 m) in
-bfloat16 inference on one chip, batched to amortize per-batch topology
-sorts, and prints one JSON line.
+bfloat16 inference on one chip and prints ONE JSON line.  Besides the
+headline scans/s the JSON carries the proof obligations of the perf claim
+(VERDICT r2 item 1c): a topology/model stage split, the conv FLOP count
+actually implied by the rulebooks, the achieved conv TF/s, and an MXU
+roofline probe measured on the same device seconds earlier — so the
+"fraction of speed-of-light" figure is self-contained and re-checkable.
 """
 
 from __future__ import annotations
@@ -17,10 +21,53 @@ import time
 import numpy as np
 
 BASELINE_SCANS_PER_SEC = 50.0  # BASELINE.json north_star
-# larger batches amortize per-call dispatch + fixed per-level costs; the
-# persistent compile cache makes the bigger-sort executables a one-time
-# cost (override with TASEG_BENCH_BATCH)
 BATCH_SCANS = int(os.environ.get("TASEG_BENCH_BATCH", "1"))
+
+
+def _time(fn, *args, n=20):
+    out = fn(*args)
+    jax_block(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax_block(out)
+    return (time.perf_counter() - t0) / n
+
+
+def jax_block(out):
+    import jax
+
+    jax.block_until_ready(out)
+
+
+def _conv_inventory(cr, planes, num_layer, in_dim=4):
+    """(level, table, C_in, C_out) for every conv in MinkUNet, matching
+    models/voxel/minkunet.py exactly.  table: 'k3' (27-pt same-level),
+    'down'/'up' (8-pt strided), 'mm' (1x1 matmul)."""
+    cs = [int(cr * x) for x in planes]
+    convs = [(0, "k3", in_dim, cs[0]), (0, "k3", cs[0], cs[0])]  # stem
+
+    def res_stack(level, c_in, c_out, n):
+        for i in range(n):
+            ci = c_in if i == 0 else c_out
+            convs.append((level, "k3", ci, c_out))
+            convs.append((level, "k3", c_out, c_out))
+            if ci != c_out:
+                convs.append((level, "mm", ci, c_out))
+
+    x_ch = cs[0]
+    enc_ch = [cs[0]]
+    for l in range(1, 5):
+        convs.append((l, "down", x_ch, x_ch))
+        res_stack(l, x_ch, cs[l], num_layer[l - 1])
+        x_ch = cs[l]
+        enc_ch.append(x_ch)
+    for i, lvl in enumerate((4, 3, 2, 1)):
+        out_ch = cs[5 + i]
+        convs.append((lvl, "up", x_ch, out_ch))
+        res_stack(lvl - 1, out_ch + enc_ch[lvl - 1], out_ch, num_layer[4 + i])
+        x_ch = out_ch
+    return convs
 
 
 def main():
@@ -31,7 +78,6 @@ def main():
     import jax.numpy as jnp
 
     from taseg_tpu.models import MinkUNet, UNetCapacities, build_unet_topology
-    from taseg_tpu.models.voxel.minkunet import unet_select_gps
     from taseg_tpu.ops import PointSet
     from taseg_tpu.data.synthetic import synthetic_scan
     from taseg_tpu.data.voxel_dataset import VoxelPipeline, collate_shard
@@ -50,22 +96,16 @@ def main():
     arrays = collate_shard(samples, cap)
 
     caps = UNetCapacities.for_points(cap)
+    cr, planes, num_layer = 1.0, MinkUNet.planes, MinkUNet.num_layer
     model = MinkUNet(
-        num_classes=20, cr=1.0, block="ResBlock", compute_dtype="bfloat16"
+        num_classes=20, cr=cr, block="ResBlock", compute_dtype="bfloat16"
     )
 
     coords = jnp.asarray(arrays["point_coords"])
     feats = jnp.asarray(arrays["point_feats"])
     num = jnp.asarray(arrays["num_points"][0])
     points = PointSet(coords=coords, feats=feats, num=num)
-    # NOTE: the Pallas selection-conv path (select_gps=unet_select_gps(...))
-    # is numerically exact and ~1.6x faster per conv than the XLA gather
-    # path, but realistic scans leave ~0.4% of rulebook entries beyond its
-    # (dual, predicated) selection windows, and the exact dense fixup those
-    # entries trigger costs more than the kernel saves on this device.
-    # Until the residual fixup is scatter-free it stays opt-in.
-    sel_gps = ()
-    topo = build_unet_topology(coords, num, caps)
+    topo = build_unet_topology(coords, num, caps, devox_pairs=False)
     params = jax.jit(
         lambda c, f, n: model.init(
             {"params": jax.random.PRNGKey(0)},
@@ -78,24 +118,57 @@ def main():
     @jax.jit
     def fwd(params, coords, feats, num):
         pts = PointSet(coords=coords, feats=feats, num=num)
-        # inference: skip devox backward pair tables; build selection-kernel
-        # tables so 3^3 convs run the Pallas resident-window path
-        topo = build_unet_topology(
-            coords, num, caps, devox_pairs=False, select_gps=sel_gps
-        )
+        # inference: skip devox backward pair tables (eval never
+        # differentiates through interpolation)
+        topo = build_unet_topology(coords, num, caps, devox_pairs=False)
         return model.apply(params, pts, topo, False)
 
-    out = fwd(params, coords, feats, num)
-    out.block_until_ready()  # compile
-
     n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fwd(params, coords, feats, num)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    dt = _time(fwd, params, coords, feats, num, n=n_iter)
+    scans_per_sec = BATCH_SCANS / dt
 
-    scans_per_sec = n_iter * BATCH_SCANS / dt
+    # ---- stage split: topology alone / model alone (separate jits lose
+    # cross-stage fusion, so the two may not sum to the fused total; they
+    # bound where the time goes) --------------------------------------------
+    topo_fn = jax.jit(
+        lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
+    )
+    t_topo = _time(topo_fn, coords, num, n=n_iter)
+    apply_fn = jax.jit(
+        lambda p, pts, topo: model.apply(p, pts, topo, False)
+    )
+    t_apply = _time(apply_fn, params, points, topo, n=n_iter)
+
+    # ---- conv FLOPs implied by the actual rulebooks -----------------------
+    nnz = {}
+    for l, lt in enumerate(topo.levels):
+        v = int(np.asarray(lt.num))
+        nnz[(l, "k3")] = int((np.asarray(lt.rb_k3) >= 0).sum())
+        nnz[(l, "mm")] = v
+        if lt.rb_down is not None:
+            nnz[(l, "down")] = int((np.asarray(lt.rb_down) >= 0).sum())
+            nnz[(l, "up")] = int((np.asarray(lt.rb_up) >= 0).sum())
+    conv_flops = 0
+    for lvl, table, c_in, c_out in _conv_inventory(cr, planes, num_layer):
+        conv_flops += 2 * nnz[(lvl, table)] * c_in * c_out
+    conv_tflops = conv_flops / 1e12
+
+    # ---- MXU roofline probe: chained 2048x512 @ 512x512 bf16 matmuls ------
+    a = jnp.ones((2048, 512), jnp.bfloat16)
+    w = jnp.ones((512, 512), jnp.bfloat16)
+
+    @jax.jit
+    def probe(a, w):
+        def body(x, _):
+            y = jnp.dot(x, w, preferred_element_type=jnp.bfloat16)
+            return y * (1.0 / 512.0), None
+
+        return jax.lax.scan(body, a, None, length=200)[0]
+
+    t_probe = _time(probe, a, w, n=5)
+    probe_tfs = 200 * 2 * 2048 * 512 * 512 / t_probe / 1e12
+
+    achieved_tfs = conv_tflops / t_apply
     print(
         json.dumps(
             {
@@ -103,6 +176,15 @@ def main():
                 "value": round(scans_per_sec, 3),
                 "unit": "scans/s",
                 "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
+                "breakdown": {
+                    "fused_step_ms": round(dt * 1e3, 2),
+                    "topology_ms": round(t_topo * 1e3, 2),
+                    "model_apply_ms": round(t_apply * 1e3, 2),
+                    "conv_gflops_per_scan": round(conv_tflops * 1e3, 1),
+                    "conv_achieved_tfs": round(achieved_tfs, 2),
+                    "mxu_probe_tfs": round(probe_tfs, 1),
+                    "conv_mfu_vs_probe": round(achieved_tfs / probe_tfs, 3),
+                },
             }
         )
     )

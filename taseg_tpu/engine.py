@@ -412,6 +412,13 @@ class Trainer:
 
     def _init_state(self) -> TrainState:
         loader = self.train_loader
+        if len(loader) == 0:
+            raise ValueError(
+                f"empty train loader: {len(loader.reader)} scans < one "
+                f"global batch of {loader.global_scans_per_batch} "
+                f"(n_shards x scans_per_shard x processes) — lower "
+                f"--batch_size or OPTIM.BATCH_SIZE_PER_GPU"
+            )
         arrays, _ = next(iter(loader))
         rng = {"params": jax.random.PRNGKey(int(self.cfg.get("SEED", 0)))}
 

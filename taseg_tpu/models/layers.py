@@ -192,7 +192,18 @@ class MaskedBatchNorm(nn.Module):
                     (1 - self.momentum) * ra_var.value + self.momentum * unbiased
                 )
         else:
-            mean, var = ra_mean.value, ra_var.value
+            # inference: running stats are constants — collapse to one
+            # fused-multiply-add (y = x*g + b) and skip the padding-row
+            # reset: conv outputs at padding rows are never consumed (all
+            # rulebook/devox entries point at valid rows only), and the
+            # saved (V, C) where-pass per layer is measurable at eval
+            g = (
+                scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            ).astype(x.dtype)
+            b = (bias - ra_mean.value * scale * jax.lax.rsqrt(
+                ra_var.value + self.epsilon
+            )).astype(x.dtype)
+            return x * g + b
 
         y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
             var.astype(x.dtype) + jnp.asarray(self.epsilon, x.dtype)

@@ -22,9 +22,9 @@ from flax import struct
 from ...ops import (
     GridBounds,
     IdentityDevoxTable,
-    build_reverse_rulebook,
     build_rulebook,
     build_rulebook_fast,
+    build_upsample_rulebook,
     build_segment_tables,
     compute_bounds,
     kernel_offsets,
@@ -164,15 +164,18 @@ def build_unet_topology(
     for l in range(1, num_levels):
         s_prev = 2 ** (l - 1)
         s = 2**l
-        coords_l, num_l = spdownsample(
-            prev_coords, prev_num, 2, s_prev, bounds, caps.voxels[l]
+        coords_l, num_l, parent = spdownsample(
+            prev_coords, prev_num, 2, s_prev, bounds, caps.voxels[l],
+            return_inverse=True,
         )
         offs_down = kernel_offsets(2, stride=s_prev)
         rb_down = build_rulebook(
             coords_l, num_l, prev_coords, prev_num, offs_down, bounds
         )
-        rb_up = build_reverse_rulebook(
-            prev_coords, prev_num, coords_l, num_l, offs_down, bounds
+        # rb_up from the parent relation — join-free (ops.rulebook.
+        # build_upsample_rulebook), identical to the sort-join table
+        rb_up = build_upsample_rulebook(
+            prev_coords, prev_num, parent, s_prev
         )
         rb_k3 = build_rulebook(
             coords_l, num_l, coords_l, num_l, kernel_offsets(3, stride=s), bounds

@@ -19,6 +19,7 @@ from .point_range import (
 from .quantize import quantize_coords, sparse_quantize
 from .rulebook import (
     build_reverse_rulebook,
+    build_upsample_rulebook,
     build_rulebook,
     build_rulebook_fast,
     kernel_offsets,
@@ -46,6 +47,7 @@ __all__ = [
     "SegmentTables",
     "SparseGrid",
     "build_reverse_rulebook",
+    "build_upsample_rulebook",
     "build_rulebook",
     "build_rulebook_fast",
     "build_segment_tables",

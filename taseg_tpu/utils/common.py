@@ -18,8 +18,11 @@ def create_logger(log_file=None, name: str = "taseg_tpu") -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     logger.propagate = False
-    if logger.handlers:
-        return logger
+    # re-point handlers each call: repeated in-process runs (staged
+    # recipes, tests) must log to THEIR output dir, not the first one's
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+        h.close()
     fmt = logging.Formatter("%(asctime)s  %(levelname)5s  %(message)s")
     sh = logging.StreamHandler(sys.stdout)
     sh.setFormatter(fmt)

@@ -261,3 +261,45 @@ def test_rpv_context_band_isolation():
     rows = idx // w
     assert (rows[:, 0] <= 15).all()  # scan-0 corners stay in rows 0..15
     assert (16 <= rows[:, 1]).all() and (rows[:, 1] <= 31).all()
+
+
+def test_upsample_rulebook_matches_join():
+    """Arithmetic rb_up == the sort-join reverse rulebook, and entries
+    stay strictly increasing per offset (sorted-gather precondition)."""
+    import jax.numpy as jnp
+
+    from taseg_tpu.ops import (
+        build_reverse_rulebook, compute_bounds, kernel_offsets,
+        spdownsample, unique_coords,
+    )
+    from taseg_tpu.ops.rulebook import build_upsample_rulebook
+
+    rng = np.random.default_rng(7)
+    for s_prev, hi in ((1, 40), (2, 80)):
+        raw = np.unique(
+            rng.integers(0, hi // s_prev, (3000, 3)) * s_prev, axis=0
+        )
+        n = len(raw)
+        cap = 4096
+        coords = np.zeros((cap, 4), np.int32)
+        coords[:n, :3] = raw
+        coords[:300, 3] = 0  # single batch
+        valid = jnp.arange(cap) < n
+        bounds = compute_bounds(jnp.asarray(coords), valid)
+        fine, num_f, _, _ = unique_coords(
+            jnp.asarray(coords), valid, bounds, cap
+        )
+        coarse, num_c, parent = spdownsample(
+            fine, num_f, 2, s_prev, bounds, cap, return_inverse=True
+        )
+        offs = kernel_offsets(2, stride=s_prev)
+        rb_join = np.asarray(build_reverse_rulebook(
+            fine, num_f, coarse, num_c, offs, bounds
+        ))
+        rb_arith = np.asarray(build_upsample_rulebook(
+            fine, num_f, parent, s_prev
+        ))
+        np.testing.assert_array_equal(rb_arith, rb_join)
+        for k in range(8):
+            row = rb_arith[k][rb_arith[k] >= 0]
+            assert (np.diff(row) > 0).all()
