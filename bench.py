@@ -105,7 +105,12 @@ def main():
     feats = jnp.asarray(arrays["point_feats"])
     num = jnp.asarray(arrays["num_points"][0])
     points = PointSet(coords=coords, feats=feats, num=num)
-    topo = build_unet_topology(coords, num, caps, devox_pairs=False)
+    # jit even this one-off build: eager dispatch through the device
+    # tunnel is pathologically slow (minutes for a topology build)
+    topo_fn = jax.jit(
+        lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
+    )
+    topo = topo_fn(coords, num)
     params = jax.jit(
         lambda c, f, n: model.init(
             {"params": jax.random.PRNGKey(0)},
@@ -130,9 +135,6 @@ def main():
     # ---- stage split: topology alone / model alone (separate jits lose
     # cross-stage fusion, so the two may not sum to the fused total; they
     # bound where the time goes) --------------------------------------------
-    topo_fn = jax.jit(
-        lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
-    )
     t_topo = _time(topo_fn, coords, num, n=n_iter)
     apply_fn = jax.jit(
         lambda p, pts, topo: model.apply(p, pts, topo, False)
@@ -145,9 +147,11 @@ def main():
         v = int(np.asarray(lt.num))
         nnz[(l, "k3")] = int((np.asarray(lt.rb_k3) >= 0).sum())
         nnz[(l, "mm")] = v
-        if lt.rb_down is not None:
-            nnz[(l, "down")] = int((np.asarray(lt.rb_down) >= 0).sum())
-            nnz[(l, "up")] = int((np.asarray(lt.rb_up) >= 0).sum())
+        if lt.strided is not None:
+            # one (fine, coarse) pair per valid fine row, either direction
+            pairs = int((np.asarray(lt.strided.parent) >= 0).sum())
+            nnz[(l, "down")] = pairs
+            nnz[(l, "up")] = pairs
     conv_flops = 0
     for lvl, table, c_in, c_out in _conv_inventory(cr, planes, num_layer):
         conv_flops += 2 * nnz[(lvl, table)] * c_in * c_out

@@ -92,7 +92,7 @@ class SPVCNN(nn.Module):
         for l in range(1, 5):
             x = ConvBNReLU(
                 x.shape[-1], 8, axis_name=self.axis_name, name=f"down{l}",
-            )(x, (levels[l].rb_down, levels[l].rb_up), masks[l], train)
+            )(x, levels[l].strided, masks[l], train)
             x = stack(x, cs[l], self.num_layer[l - 1], k3[l], masks[l],
                       f"stage{l}")
             enc.append(x)
@@ -111,7 +111,7 @@ class SPVCNN(nn.Module):
             h = ConvBNReLU(
                 out_ch, 8, transposed=True, axis_name=self.axis_name,
                 name=f"{name}_deconv",
-            )(x, (levels[lvl].rb_up, levels[lvl].rb_down), masks[lvl - 1], train)
+            )(x, levels[lvl].strided, masks[lvl - 1], train)
             h = jnp.concatenate([h, skip], axis=-1)
             return stack(h, out_ch, n_blocks, k3[lvl - 1], masks[lvl - 1],
                          f"{name}_blocks")

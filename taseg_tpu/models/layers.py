@@ -23,6 +23,11 @@ from flax import struct
 
 from ..ops import flip_rulebook, sparse_conv_apply
 from ..ops.select_conv import flip_tables, select_conv
+from ..ops.strided_conv import (
+    StridedTables,
+    downsample_conv_apply,
+    upsample_conv_apply,
+)
 
 
 @struct.dataclass
@@ -99,6 +104,24 @@ class SparseConv(nn.Module):
                 _conv_init(self.kernel_volume, fan),
                 (self.kernel_volume, c_in, self.out_channels),
             )
+            if isinstance(rulebooks, StridedTables):
+                # ks=2/stride=2 pair via the parent relation — join- and
+                # rulebook-free (ops.strided_conv); the transposed flag
+                # picks the direction, weights stay (8, Ci, Co)
+                apply = (
+                    upsample_conv_apply
+                    if self.transposed
+                    else downsample_conv_apply
+                )
+                out = apply(feats, w, rulebooks)
+                if self.use_bias:
+                    b = self.param(
+                        "bias",
+                        _conv_init(self.kernel_volume, fan),
+                        (self.out_channels,),
+                    )
+                    out = out + b
+                return out
             if isinstance(rulebooks, ConvPlan):
                 plan = rulebooks
             else:

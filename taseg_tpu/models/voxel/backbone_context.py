@@ -24,7 +24,6 @@ from ...ops import (
     IdentityDevoxTable,
     build_rulebook,
     build_rulebook_fast,
-    build_upsample_rulebook,
     build_segment_tables,
     compute_bounds,
     kernel_offsets,
@@ -34,6 +33,7 @@ from ...ops import (
     unique_coords,
 )
 from ...ops.select_conv import build_select_tables, group_factor
+from ...ops.strided_conv import build_strided_tables
 
 
 @dataclass(frozen=True)
@@ -79,8 +79,11 @@ class LevelTopo:
     coords: jnp.ndarray  # (V_l, 4) int32, key-sorted valid-first
     num: jnp.ndarray  # () int32
     rb_k3: jnp.ndarray  # (27, V_l) same-level 3^3 rulebook
-    rb_down: jnp.ndarray | None  # (8, V_l): fine input idx per coarse output
-    rb_up: jnp.ndarray | None  # (8, V_{l-1}): coarse input idx per fine out
+    # parent relation between this level and the 2x-finer one: serves the
+    # ks=2/stride=2 down conv INTO this level and the transposed conv back
+    # out of it (ops.strided_conv) — replaces the dense rb_down/rb_up
+    # 8-offset rulebooks and their sort-joins; None at level 0
+    strided: object = None
     # gp (= 128 // C_in pack factor) -> SelectTables for the Pallas
     # selection conv over rb_k3 (ops.select_conv); empty when the topology
     # was built without `select_gps`
@@ -155,7 +158,7 @@ def build_unet_topology(
     )
     levels.append(
         LevelTopo(
-            coords=coords0, num=num0, rb_k3=rb_k3, rb_down=None, rb_up=None,
+            coords=coords0, num=num0, rb_k3=rb_k3,
             sel_k3=_sel_tables(rb_k3, coords0.shape[0], 0),
         )
     )
@@ -164,26 +167,22 @@ def build_unet_topology(
     for l in range(1, num_levels):
         s_prev = 2 ** (l - 1)
         s = 2**l
-        coords_l, num_l, parent = spdownsample(
+        coords_l, num_l, parent, counts, perm = spdownsample(
             prev_coords, prev_num, 2, s_prev, bounds, caps.voxels[l],
             return_inverse=True,
         )
-        offs_down = kernel_offsets(2, stride=s_prev)
-        rb_down = build_rulebook(
-            coords_l, num_l, prev_coords, prev_num, offs_down, bounds
-        )
-        # rb_up from the parent relation — join-free (ops.rulebook.
-        # build_upsample_rulebook), identical to the sort-join table
-        rb_up = build_upsample_rulebook(
-            prev_coords, prev_num, parent, s_prev
+        # the strided down/up conv pair needs no rulebook at all — the
+        # parent relation from the downsample unique covers both
+        # directions (ops.strided_conv)
+        strided = build_strided_tables(
+            prev_coords, prev_num, parent, counts, perm, s_prev
         )
         rb_k3 = build_rulebook(
             coords_l, num_l, coords_l, num_l, kernel_offsets(3, stride=s), bounds
         )
         levels.append(
             LevelTopo(
-                coords=coords_l, num=num_l, rb_k3=rb_k3,
-                rb_down=rb_down, rb_up=rb_up,
+                coords=coords_l, num=num_l, rb_k3=rb_k3, strided=strided,
                 sel_k3=_sel_tables(rb_k3, coords_l.shape[0], l),
             )
         )

@@ -102,7 +102,7 @@ class MinkUNet(nn.Module):
             x = ConvBNReLU(
                 x.shape[-1], 8, axis_name=self.axis_name,
                 bn_momentum=self.bn_momentum, name=f"down{l}",
-            )(x, (levels[l].rb_down, levels[l].rb_up), masks[l], train)
+            )(x, levels[l].strided, masks[l], train)
             x = stack(
                 x, cs[l], self.num_layer[l - 1], k3[l], masks[l], f"stage{l}"
             )
@@ -115,11 +115,11 @@ class MinkUNet(nn.Module):
         x4 = nn.Dropout(self.dropout_p)(x4, deterministic=not train)
 
         def up(x, lvl, skip, out_ch, n_blocks, name):
-            # transposed conv: forward table is rb_up, gradient path rb_down
+            # transposed conv over the same parent relation
             h = ConvBNReLU(
                 out_ch, 8, transposed=True, axis_name=self.axis_name,
                 bn_momentum=self.bn_momentum, name=f"{name}_deconv",
-            )(x, (levels[lvl].rb_up, levels[lvl].rb_down), masks[lvl - 1], train)
+            )(x, levels[lvl].strided, masks[lvl - 1], train)
             h = jnp.concatenate([h, skip], axis=-1)
             return stack(
                 h, out_ch, n_blocks, k3[lvl - 1], masks[lvl - 1],

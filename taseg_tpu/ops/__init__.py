@@ -19,7 +19,6 @@ from .point_range import (
 from .quantize import quantize_coords, sparse_quantize
 from .rulebook import (
     build_reverse_rulebook,
-    build_upsample_rulebook,
     build_rulebook,
     build_rulebook_fast,
     kernel_offsets,
@@ -27,6 +26,12 @@ from .rulebook import (
     spdownsample,
 )
 from .sparse_conv import flip_rulebook, sparse_conv_apply, sparse_matmul
+from .strided_conv import (
+    StridedTables,
+    build_strided_tables,
+    downsample_conv_apply,
+    upsample_conv_apply,
+)
 from .sparse_tensor import PointSet, SparseGrid
 from .voxelize import (
     DevoxTable,
@@ -46,13 +51,15 @@ __all__ = [
     "PointSet",
     "SegmentTables",
     "SparseGrid",
+    "StridedTables",
     "build_reverse_rulebook",
-    "build_upsample_rulebook",
     "build_rulebook",
     "build_rulebook_fast",
     "build_segment_tables",
+    "build_strided_tables",
     "compute_bounds",
     "devoxelize",
+    "downsample_conv_apply",
     "flip_rulebook",
     "join_keys",
     "kernel_offsets",
@@ -73,5 +80,6 @@ __all__ = [
     "spdownsample",
     "trilinear_table",
     "unique_coords",
+    "upsample_conv_apply",
     "voxelize_avg",
 ]

@@ -34,13 +34,20 @@ def unique_coords(
     valid: jnp.ndarray,
     bounds: GridBounds,
     capacity: int,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    *,
+    return_perm: bool = False,
+) -> tuple:
     """Deduplicate (N, 4) int coords into a capacity-padded unique set.
 
     Returns (unique_coords (capacity, 4) int32 — key-sorted, valid rows
     first, zero padding; num_unique () int32 — the TRUE count, callers
     detect overflow via num > capacity; inverse (N,) int32, -1 for invalid
-    rows; counts (capacity,) int32).
+    rows; counts (capacity,) int32).  With `return_perm`, also the sort
+    permutation (N,) int32: input rows reordered by key, so rows sharing a
+    unique id form contiguous runs whose extents are
+    [starts[u], starts[u+1]) for starts = exclusive-cumsum(counts) —
+    invalid rows sort last.  The strided-conv segment sums consume this
+    (ops.strided_conv).
     """
     n_in = coords.shape[0]
     if n_in < capacity:  # pad so compaction slices below are well-formed
@@ -90,6 +97,8 @@ def unique_coords(
         jnp.arange(capacity, dtype=jnp.int32) == last_u, n_valid, next_start
     )
     counts = jnp.where(in_cap, next_start - take, 0)
+    if return_perm:
+        return out_coords, num_unique, inverse[:n_in], counts, sperm
     return out_coords, num_unique, inverse[:n_in], counts
 
 

@@ -63,8 +63,10 @@ def spdownsample(
     (stride == kernel_size): truncate-toward-zero division of the xyz coords
     by (stride * tensor_stride), then unique.  Returns key-sorted coords
     padded to `capacity` plus the unique count; with `return_inverse`, also
-    the fine-row -> coarse-uid map (-1 for invalid rows) — the parent
-    relation `build_upsample_rulebook` turns into a join-free rb_up.
+    the fine-row -> coarse-uid map (-1 for invalid rows), the per-cell
+    children counts, and the parent-grouping sort permutation —
+    `ops.strided_conv` turns this parent relation into join-free strided
+    convolutions (one row gather each way instead of 8 + a sort-join).
     """
     stride = make_ntuple(stride)
     tensor_stride = make_ntuple(tensor_stride)
@@ -76,42 +78,15 @@ def spdownsample(
     down = jnp.sign(xyz) * (jnp.abs(xyz) // ss) * ss
     new_coords = jnp.concatenate([down, coords[:, 3:4]], axis=1)
     valid = jnp.arange(coords.shape[0], dtype=jnp.int32) < num
-    out_coords, num_out, inverse, _ = unique_coords(
+    if return_inverse:
+        out_coords, num_out, inverse, counts, perm = unique_coords(
+            new_coords, valid, bounds, capacity, return_perm=True
+        )
+        return out_coords, num_out, inverse, counts, perm
+    out_coords, num_out, _, _ = unique_coords(
         new_coords, valid, bounds, capacity
     )
-    if return_inverse:
-        return out_coords, num_out, inverse
     return out_coords, num_out
-
-
-def build_upsample_rulebook(
-    fine_coords: jnp.ndarray,
-    num_fine: jnp.ndarray,
-    parent: jnp.ndarray,
-    tensor_stride: int,
-) -> jnp.ndarray:
-    """rb_up (8, V_fine) for a ks=2/stride=2 level pair WITHOUT a join.
-
-    Each fine voxel f belongs to exactly one coarse cell (its `parent`
-    from spdownsample's unique) at exactly one kernel-offset slot — the
-    per-axis parity bits of its coords.  rb_up[k, f] = parent(f) iff
-    slot(f) == k, else -1; entries stay strictly increasing per offset
-    (fine keys minus a constant offset are order-preserving), so the
-    sorted-gather fast path in ops.sparse_conv remains valid.  Replaces
-    `build_reverse_rulebook`'s (V_coarse + 8*V_fine)-row sort with pure
-    arithmetic.  Offset enumeration matches kernel_offsets(2, stride=s):
-    z-fastest, so k = bx*4 + by*2 + bz.  Assumes nonnegative coords
-    (both host pipelines shift to nonneg; trunc == floor there).
-    """
-    s = tensor_stride
-    xyz = fine_coords[:, :3].astype(jnp.int32)
-    bits = (xyz % (2 * s)) // s  # (V, 3) in {0, 1}
-    slot = bits[:, 0] * 4 + bits[:, 1] * 2 + bits[:, 2]
-    v = fine_coords.shape[0]
-    valid = (jnp.arange(v, dtype=jnp.int32) < num_fine) & (parent >= 0)
-    par = jnp.where(valid, parent, -1)
-    k_ids = jnp.arange(8, dtype=jnp.int32)[:, None]
-    return jnp.where(k_ids == slot[None, :], par[None, :], -1)
 
 
 def build_rulebook(

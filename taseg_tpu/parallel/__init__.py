@@ -55,9 +55,18 @@ class TrainState:
 
 
 def make_mesh(devices=None) -> Mesh:
+    import os
+
     import numpy as np
 
-    devices = devices if devices is not None else jax.devices()
+    if devices is None:
+        devices = jax.devices()
+        # TASEG_NUM_DEVICES=n restricts the mesh to the first n local
+        # devices (the single-process analogue of CUDA_VISIBLE_DEVICES in
+        # the reference's launch scripts)
+        n = int(os.environ.get("TASEG_NUM_DEVICES", "0"))
+        if n > 0:
+            devices = devices[:n]
     return Mesh(np.array(devices).reshape(-1), (DATA_AXIS,))
 
 

@@ -263,16 +263,21 @@ def test_rpv_context_band_isolation():
     assert (16 <= rows[:, 1]).all() and (rows[:, 1] <= 31).all()
 
 
-def test_upsample_rulebook_matches_join():
-    """Arithmetic rb_up == the sort-join reverse rulebook, and entries
-    stay strictly increasing per offset (sorted-gather precondition)."""
+def test_strided_conv_matches_rulebook_conv():
+    """Parent-relation strided convs (ops.strided_conv) == the dense
+    8-offset rulebook path (ops.sparse_conv), both directions, values and
+    gradients."""
+    import jax
     import jax.numpy as jnp
 
     from taseg_tpu.ops import (
-        build_reverse_rulebook, compute_bounds, kernel_offsets,
-        spdownsample, unique_coords,
+        build_reverse_rulebook, build_rulebook, compute_bounds,
+        kernel_offsets, spdownsample, unique_coords,
     )
-    from taseg_tpu.ops.rulebook import build_upsample_rulebook
+    from taseg_tpu.ops.sparse_conv import sparse_conv_apply
+    from taseg_tpu.ops.strided_conv import (
+        build_strided_tables, downsample_conv_apply, upsample_conv_apply,
+    )
 
     rng = np.random.default_rng(7)
     for s_prev, hi in ((1, 40), (2, 80)):
@@ -283,23 +288,94 @@ def test_upsample_rulebook_matches_join():
         cap = 4096
         coords = np.zeros((cap, 4), np.int32)
         coords[:n, :3] = raw
-        coords[:300, 3] = 0  # single batch
         valid = jnp.arange(cap) < n
         bounds = compute_bounds(jnp.asarray(coords), valid)
         fine, num_f, _, _ = unique_coords(
             jnp.asarray(coords), valid, bounds, cap
         )
-        coarse, num_c, parent = spdownsample(
-            fine, num_f, 2, s_prev, bounds, cap, return_inverse=True
+        ccap = 2048
+        coarse, num_c, parent, counts, perm = spdownsample(
+            fine, num_f, 2, s_prev, bounds, ccap, return_inverse=True
+        )
+        tables = build_strided_tables(
+            fine, num_f, parent, counts, perm, s_prev
         )
         offs = kernel_offsets(2, stride=s_prev)
-        rb_join = np.asarray(build_reverse_rulebook(
+        rb_down = build_rulebook(coarse, num_c, fine, num_f, offs, bounds)
+        rb_up = build_reverse_rulebook(
             fine, num_f, coarse, num_c, offs, bounds
-        ))
-        rb_arith = np.asarray(build_upsample_rulebook(
-            fine, num_f, parent, s_prev
-        ))
-        np.testing.assert_array_equal(rb_arith, rb_join)
-        for k in range(8):
-            row = rb_arith[k][rb_arith[k] >= 0]
-            assert (np.diff(row) > 0).all()
+        )
+
+        ci, co = 8, 16
+        f_fine = jnp.asarray(
+            rng.normal(size=(cap, ci)).astype(np.float32)
+        ) * (jnp.arange(cap) < num_f)[:, None]
+        w = jnp.asarray(rng.normal(size=(8, ci, co)).astype(np.float32))
+
+        ref_dn = sparse_conv_apply(f_fine, w, rb_down, rb_up)
+        got_dn = downsample_conv_apply(f_fine, w, tables)
+        vmask = (jnp.arange(ccap) < num_c)[:, None]
+        np.testing.assert_allclose(
+            np.asarray(got_dn * vmask), np.asarray(ref_dn * vmask),
+            rtol=1e-4, atol=1e-4,
+        )
+
+        f_coarse = jnp.asarray(
+            rng.normal(size=(ccap, ci)).astype(np.float32)
+        ) * (jnp.arange(ccap) < num_c)[:, None]
+        ref_up = sparse_conv_apply(f_coarse, w, rb_up, rb_down)
+        got_up = upsample_conv_apply(f_coarse, w, tables)
+        fmask = (jnp.arange(cap) < num_f)[:, None]
+        np.testing.assert_allclose(
+            np.asarray(got_up * fmask), np.asarray(ref_up * fmask),
+            rtol=1e-4, atol=1e-4,
+        )
+
+        # gradients (targets only valid rows so padding rows don't leak)
+        def loss_dn(fn, f, wk):
+            return jnp.sum((fn(f, wk) * vmask) ** 2)
+
+        g_ref = jax.grad(
+            lambda f, wk: loss_dn(
+                lambda a, b: sparse_conv_apply(a, b, rb_down, rb_up), f, wk
+            ),
+            argnums=(0, 1),
+        )(f_fine, w)
+        g_got = jax.grad(
+            lambda f, wk: loss_dn(
+                lambda a, b: downsample_conv_apply(a, b, tables), f, wk
+            ),
+            argnums=(0, 1),
+        )(f_fine, w)
+        np.testing.assert_allclose(
+            np.asarray(g_got[0] * fmask), np.asarray(g_ref[0] * fmask),
+            rtol=1e-3, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_got[1]), np.asarray(g_ref[1]),
+            rtol=1e-3, atol=1e-3,
+        )
+
+        def loss_up(fn, f, wk):
+            return jnp.sum((fn(f, wk) * fmask) ** 2)
+
+        gu_ref = jax.grad(
+            lambda f, wk: loss_up(
+                lambda a, b: sparse_conv_apply(a, b, rb_up, rb_down), f, wk
+            ),
+            argnums=(0, 1),
+        )(f_coarse, w)
+        gu_got = jax.grad(
+            lambda f, wk: loss_up(
+                lambda a, b: upsample_conv_apply(a, b, tables), f, wk
+            ),
+            argnums=(0, 1),
+        )(f_coarse, w)
+        np.testing.assert_allclose(
+            np.asarray(gu_got[0] * vmask), np.asarray(gu_ref[0] * vmask),
+            rtol=1e-3, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gu_got[1]), np.asarray(gu_ref[1]),
+            rtol=1e-3, atol=1e-3,
+        )

@@ -98,11 +98,15 @@ def _run_cli(args, workdir):
     cwd = Path.cwd()
     import os
 
+    # 2-device mesh: the fixture has only 6 frames per split, which must
+    # cover a full global batch (n_shards x batch_size)
+    os.environ["TASEG_NUM_DEVICES"] = "2"
     os.chdir(workdir)
     try:
         train.main()
     finally:
         os.chdir(cwd)
+        os.environ.pop("TASEG_NUM_DEVICES", None)
 
 
 def _last_miou(workdir, tag):

@@ -75,7 +75,9 @@ def main():
     # loaders produce PROCESS-LOCAL shards; on multi-host the engine
     # assembles them into global arrays (parallel.make_global_batch) and
     # each process reads a distinct slice of the global epoch order
-    n_shards = jax.local_device_count()
+    n_local = len([d for d in mesh.devices.flat if d.process_index ==
+                   jax.process_index()])
+    n_shards = n_local or jax.local_device_count()
     scans_per_shard = args.batch_size or int(
         cfg.OPTIM.get("BATCH_SIZE_PER_GPU", 2)
     )
