@@ -111,6 +111,16 @@ def main():
         lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
     )
     topo = topo_fn(coords, num)
+    # calibration pass: fit level capacities to the measured occupancy
+    # (+10%), as a deployment derives them from dataset statistics
+    # (UNetCapacities.fit) — padding rows cost gather/sort/matmul time on
+    # every step, and the generic schedule leaves ~40% waste at level 0
+    level_nums = [int(np.asarray(lt.num)) for lt in topo.levels]
+    caps = UNetCapacities.fit(cap, level_nums, margin=1.1)
+    topo_fn = jax.jit(
+        lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
+    )
+    topo = topo_fn(coords, num)
     params = jax.jit(
         lambda c, f, n: model.init(
             {"params": jax.random.PRNGKey(0)},

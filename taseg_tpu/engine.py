@@ -182,7 +182,14 @@ class Trainer:
             axis_name="data" if cfg.MODEL.get("IF_DIST", False) else None,
         )
 
-        self.caps = UNetCapacities.for_points(train_loader.point_capacity)
+        # MODEL.CAPACITY_SCHEDULE: per-level voxel-capacity fractions of
+        # the point capacity (tighter schedules cut padding waste on every
+        # gather/sort/matmul; overflow telemetry on train AND eval steps
+        # backstops them)
+        self.caps = UNetCapacities.for_points(
+            train_loader.point_capacity,
+            schedule=cfg.MODEL.get("CAPACITY_SCHEDULE"),
+        )
         # model-specific topology extras (e.g. SPVCNN's point branch)
         self.topo_kwargs = (
             {"point_voxel_strides": (1, 4, 16)}
@@ -697,6 +704,21 @@ class Trainer:
             save_logits(save_path, sample.name, logits)
         save_predictions(save_path, sample.name, pred)
 
+    def _run_eval_step(self, batch):
+        """Invoke the family's eval step; newer voxel steps also return
+        per-level voxel counts (capacity telemetry, checked here so a
+        trimmed CAPACITY_SCHEDULE can never silently truncate at eval)."""
+        out = self.eval_step(
+            self.state.params, self.state.batch_stats, batch
+        )
+        if len(out) == 3:
+            h, logits, nums = out
+            nums = np.asarray(nums)
+            if nums.size:
+                self._check_capacity(nums)
+            return h, logits
+        return out
+
     def evaluate_points(
         self,
         *,
@@ -726,9 +748,7 @@ class Trainer:
         if tta_votes <= 0:
             for arrays, meta in loader:
                 batch = self._to_eval_batch(arrays)
-                _, logits = self.eval_step(
-                    self.state.params, self.state.batch_stats, batch
-                )
+                _, logits = self._run_eval_step(batch)
                 logits = local_rows(logits)
                 for r, meta_r in enumerate(meta):
                     for sample, pt_logits in self._map_shard_to_points(
@@ -758,9 +778,7 @@ class Trainer:
                 scan_meta: dict = {}
                 for arrays, meta in per_vote:
                     batch = self._to_eval_batch(arrays)
-                    _, logits = self.eval_step(
-                        self.state.params, self.state.batch_stats, batch
-                    )
+                    _, logits = self._run_eval_step(batch)
                     logits = local_rows(logits)
                     for r, meta_r in enumerate(meta):
                         for sample, pt_logits in self._map_shard_to_points(
@@ -801,9 +819,7 @@ class Trainer:
         n_scans = 0
         for arrays, meta in self.val_loader:
             batch = self._to_eval_batch(arrays)
-            _, logits = self.eval_step(
-                self.state.params, self.state.batch_stats, batch
-            )
+            _, logits = self._run_eval_step(batch)
             logits = local_rows(logits)  # (R_local, B, H, W, C)
             scans = np.asarray(arrays["scan"])
             for r, meta_r in enumerate(meta):
@@ -846,9 +862,7 @@ class Trainer:
         n_batches = 0
         for arrays, _meta in self.val_loader:
             batch = self._to_eval_batch(arrays)
-            h, _logits = self.eval_step(
-                self.state.params, self.state.batch_stats, batch
-            )
+            h, _logits = self._run_eval_step(batch)
             hist += np.asarray(h, np.int64)
             n_batches += 1
         dt = time.perf_counter() - t0

@@ -73,6 +73,27 @@ class UNetCapacities:
         )
         return UNetCapacities(points=points, voxels=voxels)
 
+    @staticmethod
+    def fit(
+        points: int, level_nums, margin: float = 1.15
+    ) -> "UNetCapacities":
+        """Capacities fitted to MEASURED per-level voxel counts + margin.
+
+        Gather/sort/matmul row counts all scale with capacity, so padding
+        waste is paid on every op of every step; fitting to dataset
+        statistics (max observed count x margin, 256-aligned) instead of
+        a generic schedule is the static-shape analogue of the
+        reference's exactly-sized dynamic tensors.  Overflow telemetry
+        (train + eval) backstops the margin."""
+        voxels = tuple(
+            min(
+                max(512, (int(n * margin) + 255) // 256 * 256),
+                (points + 255) // 256 * 256,
+            )
+            for n in level_nums
+        )
+        return UNetCapacities(points=points, voxels=voxels)
+
 
 @struct.dataclass
 class LevelTopo:

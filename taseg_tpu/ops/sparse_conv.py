@@ -68,8 +68,19 @@ def _gather_wide(feats: jnp.ndarray, rb: jnp.ndarray) -> jnp.ndarray:
 
 
 def _conv_fwd_impl(feats, weight, rb):
+    import os
+
     k, c_in, c_out = weight.shape
     w = weight.astype(feats.dtype)
+    if os.environ.get("TASEG_CONV_ACCUM"):
+        # A/B variant: per-offset gather -> matmul accumulation; no
+        # (V, K*C) concat intermediate, narrower MXU contraction
+        out = None
+        for kk in range(k):
+            g = _gather_rows_k(feats, rb[kk])
+            c = jnp.dot(g, w[kk], preferred_element_type=jnp.float32)
+            out = c if out is None else out + c
+        return out.astype(feats.dtype)
     g = _gather_wide(feats, rb)  # (V_out, K*C_in)
     out = jnp.dot(
         g, w.reshape(k * c_in, c_out), preferred_element_type=jnp.float32

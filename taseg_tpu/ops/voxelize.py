@@ -248,15 +248,20 @@ _devoxelize_identity.defvjp(_devox_id_fwd, _devox_id_bwd)
 @jax.custom_vjp
 def _devoxelize_trilinear(voxel_feats: jnp.ndarray, table: DevoxTable) -> jnp.ndarray:
     """Interpolate (V, C) voxel feats to (P, C) points (reference
-    `spdevoxelize`)."""
+    `spdevoxelize`).
+
+    Per-corner multiply-accumulate instead of one (8, P, C) einsum: the
+    weight product fuses into each gather's consumer and the 8x-wide
+    intermediate (GBs at head widths) never reaches HBM."""
     idx, w = table.idx, table.weights
-    gathered = jnp.where(
-        (idx >= 0)[:, :, None], voxel_feats[jnp.clip(idx, 0), :], 0
-    )
-    return jnp.einsum(
-        "kpc,kp->pc", gathered, w.astype(voxel_feats.dtype),
-        preferred_element_type=voxel_feats.dtype,
-    )
+    out = None
+    for k in range(idx.shape[0]):
+        g = jnp.where(
+            (idx[k] >= 0)[:, None], voxel_feats[jnp.clip(idx[k], 0), :], 0
+        )
+        c = g * w[k][:, None].astype(voxel_feats.dtype)
+        out = c if out is None else out + c
+    return out
 
 
 def _devox_fwd(voxel_feats, table):

@@ -247,15 +247,21 @@ def make_eval_step(
         valid = points.valid_mask() & (labels != 0)
         hist = confusion_hist(pred, labels, valid, num_classes)
         hist = jax.lax.psum(hist, DATA_AXIS)
-        if return_logits:
-            return hist, logits[None]  # (1,P,C) -> stacked (R,P,C) globally
-        return hist, pred[None]
+        # capacity telemetry for eval too (ADVICE r2): true per-level
+        # voxel counts so trimmed schedules can never silently truncate
+        if hasattr(topo, "levels"):
+            nums = jnp.stack([l.num for l in topo.levels])
+            nums = jax.lax.pmax(nums, DATA_AXIS)
+        else:
+            nums = jnp.zeros((0,), jnp.int32)
+        out = logits[None] if return_logits else pred[None]
+        return hist, out, nums  # (1,P,C) -> stacked (R,P,C) globally
 
     ev = jax.shard_map(
         local_eval,
         mesh=mesh,
         in_specs=(P(), P(), batch_pspec()),
-        out_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P(DATA_AXIS), P()),
         check_vma=False,
     )
     return jax.jit(ev)
