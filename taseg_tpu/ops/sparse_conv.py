@@ -72,19 +72,23 @@ def _conv_fwd_impl(feats, weight, rb):
 
     k, c_in, c_out = weight.shape
     w = weight.astype(feats.dtype)
-    if os.environ.get("TASEG_CONV_ACCUM"):
-        # A/B variant: per-offset gather -> matmul accumulation; no
-        # (V, K*C) concat intermediate, narrower MXU contraction
-        out = None
-        for kk in range(k):
-            g = _gather_rows_k(feats, rb[kk])
-            c = jnp.dot(g, w[kk], preferred_element_type=jnp.float32)
-            out = c if out is None else out + c
+    if os.environ.get("TASEG_CONV_WIDE"):
+        # A/B variant: one (V, K*C) concat feeding a single wide matmul.
+        # Measured SLOWER than per-offset accumulation on v5e (6.53 vs
+        # 6.93 scans/s whole-model): the concat materializes a K*C-wide
+        # intermediate that outweighs the wider MXU contraction.
+        g = _gather_wide(feats, rb)  # (V_out, K*C_in)
+        out = jnp.dot(
+            g, w.reshape(k * c_in, c_out), preferred_element_type=jnp.float32
+        )
         return out.astype(feats.dtype)
-    g = _gather_wide(feats, rb)  # (V_out, K*C_in)
-    out = jnp.dot(
-        g, w.reshape(k * c_in, c_out), preferred_element_type=jnp.float32
-    )
+    # default: per-offset gather -> matmul accumulation; no (V, K*C)
+    # concat intermediate — XLA keeps the running sum in registers/VMEM
+    out = None
+    for kk in range(k):
+        g = _gather_rows_k(feats, rb[kk])
+        c = jnp.dot(g, w[kk], preferred_element_type=jnp.float32)
+        out = c if out is None else out + c
     return out.astype(feats.dtype)
 
 
@@ -113,17 +117,19 @@ def _conv_vjp_bwd(res, g):
     feats, weight, rb_fwd, rb_bwd = res
     k, c_in, c_out = weight.shape
     w = weight.astype(g.dtype)
-    # d_feats: conv of g through the reverse rulebook with W^T — one wide
-    # matmul (V_in, K*C_out) @ (K*C_out, C_in), pairing rb_bwd[k] <-> W[k]
-    gg = _gather_wide(g, rb_bwd)
-    w_t = jnp.transpose(w, (0, 2, 1)).reshape(k * c_out, c_in)
-    d_feats = jnp.dot(gg, w_t, preferred_element_type=jnp.float32)
-    # d_W: (K*C_in, V_out) @ (V_out, C_out) — contraction over the huge
-    # V dim keeps the MXU saturated
-    in_g = _gather_wide(feats, rb_fwd)
-    d_w = jnp.dot(
-        in_g.T, g, preferred_element_type=jnp.float32
-    ).reshape(k, c_in, c_out)
+    # d_feats: conv of g through the reverse rulebook with W^T, pairing
+    # rb_bwd[k] <-> W[k]; per-offset accumulation like the forward (the
+    # wide-concat form loses on v5e, see _conv_fwd_impl).  d_W[k] contracts
+    # over the huge V dim, keeping the MXU saturated.
+    d_feats = None
+    d_w = []
+    for kk in range(k):
+        gg = _gather_rows_k(g, rb_bwd[kk])
+        c = jnp.dot(gg, w[kk].T, preferred_element_type=jnp.float32)
+        d_feats = c if d_feats is None else d_feats + c
+        in_g = _gather_rows_k(feats, rb_fwd[kk])
+        d_w.append(jnp.dot(in_g.T, g, preferred_element_type=jnp.float32))
+    d_w = jnp.stack(d_w)
     return (
         d_feats.astype(feats.dtype),
         d_w.astype(weight.dtype),
