@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops import PointSet, devoxelize, voxelize_avg
-from ..layers import BLOCKS, ConvBNReLU, MaskedBatchNorm
+from ..layers import BLOCKS, ConvBNReLU, ConvPlan, MaskedBatchNorm
 from ..voxel.backbone_context import UNetTopology
 
 
@@ -63,7 +63,10 @@ class SPVCNN(nn.Module):
             for l in levels
         ]
         pvalid = points.valid_mask()
-        k3 = [(l.rb_k3, None) for l in levels]
+        k3 = [
+            ConvPlan(l.rb_k3, None, tgf=l.tgf, tgf_bwd=l.tgf_bwd)
+            for l in levels
+        ]
 
         def stack(x, out_ch, n, rbs, mask, name):
             for i in range(n):

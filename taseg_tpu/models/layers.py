@@ -13,6 +13,7 @@ the data-parallel mesh axis — the TPU-native replacement for
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -23,6 +24,13 @@ from flax import struct
 
 from ..ops import flip_rulebook, sparse_conv_apply
 from ..ops.select_conv import flip_tables, select_conv
+from ..ops.tgf import tgf_conv_apply
+
+# C_in at or below which the stride-1 27-point conv routes through the
+# TGF 9-gather path (ops.tgf); measured break-even is 64-96 channels on
+# v5e (the transform-side z materialization offsets the gather win above
+# that).  Read once at import; override for A/B sweeps.
+TGF_MAX_CIN = int(os.environ.get("TASEG_TGF_MAX_CIN", "64"))
 from ..ops.strided_conv import (
     StridedTables,
     downsample_conv_apply,
@@ -45,6 +53,10 @@ class ConvPlan:
     rb_bwd: object = None
     sel: dict = struct.field(default_factory=dict)
     sel_bwd: dict = struct.field(default_factory=dict)
+    # TGF gather plans (ops.tgf) for the stride-1 27-point case; used for
+    # convs whose C_in is at or below the TGF channel threshold
+    tgf: object = None
+    tgf_bwd: object = None
 
 
 def _gp_target(c: int) -> tuple[int, int]:
@@ -128,6 +140,23 @@ class SparseConv(nn.Module):
                 plan = ConvPlan(rb_fwd=rulebooks[0], rb_bwd=rulebooks[1])
             rb_fwd, rb_bwd = plan.rb_fwd, plan.rb_bwd
             c_out = self.out_channels
+            if (
+                plan.tgf is not None
+                and rb_bwd is None  # stride-1 odd kernel, shared coords
+                and self.kernel_volume == 27
+                and c_in <= TGF_MAX_CIN
+            ):
+                out = tgf_conv_apply(
+                    feats, w, plan.tgf, plan.tgf_bwd, rb_fwd
+                )
+                if self.use_bias:
+                    b = self.param(
+                        "bias",
+                        _conv_init(self.kernel_volume, fan),
+                        (self.out_channels,),
+                    )
+                    out = out + b
+                return out
             gp_i, c_pad = _gp_target(c_in)
             gp_o, co_pad = _gp_target(c_out)
             tab = plan.sel.get(gp_i)

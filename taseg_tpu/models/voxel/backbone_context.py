@@ -34,6 +34,7 @@ from ...ops import (
 )
 from ...ops.select_conv import build_select_tables, group_factor
 from ...ops.strided_conv import build_strided_tables
+from ...ops.tgf import build_tgf_tables
 
 
 @dataclass(frozen=True)
@@ -109,6 +110,10 @@ class LevelTopo:
     # selection conv over rb_k3 (ops.select_conv); empty when the topology
     # was built without `select_gps`
     sel_k3: dict = struct.field(default_factory=dict)
+    # TGF gather plans (ops.tgf) for rb_k3 and its flip — 9 row gathers
+    # instead of 27 for narrow-channel convs
+    tgf: object = None
+    tgf_bwd: object = None
 
 
 @struct.dataclass
@@ -173,14 +178,27 @@ def build_unet_topology(
             out[gp] = build_select_tables(rb, v_in, 128 // gp)
         return out
 
+    def _tgf_pair(rb, coords, num, stride):
+        # the flipped tables only serve the gradient path; inference
+        # topologies (devox_pairs=False) skip them like the devox pairs
+        return (
+            build_tgf_tables(rb, coords, num, stride, bounds),
+            build_tgf_tables(
+                jnp.flip(rb, axis=0), coords, num, stride, bounds,
+                flipped=True,
+            ) if devox_pairs else None,
+        )
+
     levels = []
     rb_k3 = build_rulebook(
         coords0, num0, coords0, num0, kernel_offsets(3, stride=1), bounds
     )
+    tgf0, tgf0_b = _tgf_pair(rb_k3, coords0, num0, 1)
     levels.append(
         LevelTopo(
             coords=coords0, num=num0, rb_k3=rb_k3,
             sel_k3=_sel_tables(rb_k3, coords0.shape[0], 0),
+            tgf=tgf0, tgf_bwd=tgf0_b,
         )
     )
 
@@ -201,13 +219,58 @@ def build_unet_topology(
         rb_k3 = build_rulebook(
             coords_l, num_l, coords_l, num_l, kernel_offsets(3, stride=s), bounds
         )
+        tgf_l, tgf_l_b = _tgf_pair(rb_k3, coords_l, num_l, s)
         levels.append(
             LevelTopo(
                 coords=coords_l, num=num_l, rb_k3=rb_k3, strided=strided,
                 sel_k3=_sel_tables(rb_k3, coords_l.shape[0], l),
+                tgf=tgf_l, tgf_bwd=tgf_l_b,
             )
         )
         prev_coords, prev_num = coords_l, num_l
+
+    # point->coarse-voxel corner lookups WITHOUT joins: chase the parent
+    # chain (each point's stride-2^l ancestor voxel is l gathers through
+    # the downsample inverses), then read the 8 trilinear corners out of
+    # the level's k3 rulebook — every corner is within +-s of the
+    # ancestor, incl. the floor!=trunc cases at negative coords.  Replaces
+    # two ~1M-row sort-joins (trilinear_table) per forward.
+    anc_cache = {0: inverse}
+
+    def _ancestor(l: int) -> jnp.ndarray:
+        if l in anc_cache:
+            return anc_cache[l]
+        prev = _ancestor(l - 1)
+        parent = levels[l].strided.parent
+        a = jnp.where(prev >= 0, parent[jnp.clip(prev, 0)], -1)
+        anc_cache[l] = a
+        return a
+
+    def _corner_cols(l: int, s: int):
+        """(P, 8) rulebook columns of the trilinear corners + the
+        (P,) ancestor rows; column = (o+1)x-fastest enumeration of the
+        per-axis corner offset o = delta0 + j, delta0 = (floor - trunc)
+        ancestor mismatch in {-1, 0}."""
+        anc = _ancestor(l)
+        p3 = point_coords[:, :3].astype(jnp.float32)
+        pf = (jnp.floor(p3 / s) * s).astype(jnp.int32)
+        t = levels[l].coords[jnp.clip(anc, 0), :3]
+        delta0 = (pf - t) // jnp.int32(s)  # {-1, 0} per axis
+        j = jnp.asarray(
+            [[(k >> 2) & 1, (k >> 1) & 1, k & 1] for k in range(8)],
+            jnp.int32,
+        )  # kernel_offsets(2) enumeration: k = 4*jx + 2*jy + jz
+        o = delta0[:, None, :] + j[None, :, :]  # (P, 8, 3) in {-1, 0, 1}
+        cols = (o[..., 0] + 1) + 3 * (o[..., 1] + 1) + 9 * (o[..., 2] + 1)
+        return anc, cols
+
+    def _corner_idx(l: int, s: int) -> jnp.ndarray:
+        anc, cols = _corner_cols(l, s)
+        rbt = levels[l].rb_k3.T  # (V, 27)
+        block = rbt[jnp.clip(anc, 0)]  # (P, 27)
+        idx = jnp.take_along_axis(block, cols, axis=1)  # (P, 8)
+        ok = (anc >= 0) & valid
+        return jnp.where(ok[:, None], idx, -1).T  # (8, P)
 
     devox = {}
     for s in devox_strides:
@@ -222,6 +285,7 @@ def build_unet_topology(
         devox[s] = trilinear_table(
             point_coords, valid, levels[l].coords, levels[l].num, s, bounds,
             with_pairs=devox_pairs,
+            corner_idx=_corner_idx(l, s),
         )
 
     point_vox = {}
@@ -230,9 +294,11 @@ def build_unet_topology(
             point_vox[s] = (inverse, point_tables)
             continue
         l = s.bit_length() - 1
-        inv_s = point_to_voxel_index(
-            point_coords, valid, levels[l].coords, levels[l].num, s, bounds
-        )
+        # the containing (floor) voxel is corner j=(0,0,0)
+        anc, cols = _corner_cols(l, s)
+        block = levels[l].rb_k3.T[jnp.clip(anc, 0)]
+        inv_s = jnp.take_along_axis(block, cols[:, :1], axis=1)[:, 0]
+        inv_s = jnp.where((anc >= 0) & valid, inv_s, -1)
         point_vox[s] = (
             inv_s, build_segment_tables(inv_s, levels[l].coords.shape[0])
         )

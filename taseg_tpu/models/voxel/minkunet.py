@@ -31,6 +31,39 @@ from ..layers import BLOCKS, ConvBNReLU, ConvPlan
 from .backbone_context import UNetTopology
 
 
+class _TriScaleHead(nn.Module):
+    """`Linear(cat(z1, z2, z3))` with the projection pushed to the voxel
+    side: logits = sum_s devox(x_s @ K_s) + b, where [K_1; K_2; K_3] is the
+    row-partition of the classifier kernel (linear maps commute with the
+    trilinear interpolation).  The per-point streams then run at class
+    width instead of feature width.  Parameters are registered as `kernel`
+    / `bias` with the concatenated shape, so the tree is indistinguishable
+    from the reference-layout `nn.Dense(name="classifier")`."""
+
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, voxel_feats, tables):
+        widths = [x.shape[-1] for x in voxel_feats]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_uniform(),
+            (sum(widths), self.num_classes),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.num_classes,)
+        )
+        out = None
+        off = 0
+        for x, table in zip(voxel_feats, tables):
+            k = kernel[off : off + x.shape[-1]].astype(x.dtype)
+            off += x.shape[-1]
+            zc = jnp.dot(x, k, preferred_element_type=jnp.float32)
+            c = devoxelize(zc.astype(x.dtype), table).astype(jnp.float32)
+            out = c if out is None else out + c
+        return out + bias
+
+
 class MinkUNet(nn.Module):
     num_classes: int
     in_dim: int = 4
@@ -85,7 +118,12 @@ class MinkUNet(nn.Module):
         # backward rulebook of a same-level odd kernel is the flip (None);
         # sel_k3 tables (when the topology built them) route each conv
         # through the Pallas selection kernel
-        k3 = [ConvPlan(l.rb_k3, None, sel=l.sel_k3) for l in levels]
+        k3 = [
+            ConvPlan(
+                l.rb_k3, None, sel=l.sel_k3, tgf=l.tgf, tgf_bwd=l.tgf_bwd
+            )
+            for l in levels
+        ]
         x0 = ConvBNReLU(
             cs[0], 27, axis_name=self.axis_name, bn_momentum=self.bn_momentum,
             name="stem_0",
@@ -109,9 +147,8 @@ class MinkUNet(nn.Module):
             enc.append(x)
         x1, x2, x3, x4 = enc[1], enc[2], enc[3], enc[4]
 
-        # z1: devoxelize stride-16 features to points (minkunet.py:400)
-        z1 = devoxelize(x4, topo.devox[16])
-
+        # x4 pre-dropout feeds the head's stride-16 branch (minkunet.py:400)
+        x4_head = x4
         x4 = nn.Dropout(self.dropout_p)(x4, deterministic=not train)
 
         def up(x, lvl, skip, out_ch, n_blocks, name):
@@ -128,21 +165,29 @@ class MinkUNet(nn.Module):
 
         y1 = up(x4, 4, x3, cs[5], self.num_layer[4], "up1")
         y2 = up(y1, 3, x2, cs[6], self.num_layer[5], "up2")
-        z2 = devoxelize(y2, topo.devox[4])
+        y2_head = y2  # pre-dropout, feeds the head's stride-4 branch
 
         y2 = nn.Dropout(self.dropout_p)(y2, deterministic=not train)
         y3 = up(y2, 2, x1, cs[7], self.num_layer[6], "up3")
         y4 = up(y3, 1, x0, cs[8], self.num_layer[7], "up4")
-        z3 = devoxelize(y4, topo.devox[1])
 
-        # tri-scale point head (minkunet.py:332-334, 422); logits in f32
-        z = jnp.concatenate([z1, z2, z3], axis=-1).astype(jnp.float32)
-        logits = nn.Dense(
-            self.num_classes,
-            kernel_init=nn.initializers.lecun_uniform(),
-            name="classifier",
-        )(z)
+        # tri-scale point head (minkunet.py:332-334, 422).  Devoxelization
+        # commutes with the linear classifier, so each scale's VOXEL
+        # features are projected through its row-slice of the kernel first
+        # and the per-point interpolations run at class width — the
+        # (P, 256) f32 per-corner devox streams were ~6% of inference
+        # time.  Param tree matches nn.Dense(name="classifier") exactly.
+        tables = (topo.devox[16], topo.devox[4], topo.devox[1])
+        logits = _TriScaleHead(self.num_classes, name="classifier")(
+            (x4_head, y2_head, y4), tables
+        )
         if return_features:
+            # the KD distillation target needs the full-width tri-scale
+            # point features (reference minkunet_ms_kd.py:568, 605)
+            z = jnp.concatenate(
+                [devoxelize(x, t) for x, t in zip((x4_head, y2_head, y4), tables)],
+                axis=-1,
+            ).astype(jnp.float32)
             return logits, z
         return logits
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops import PointSet, devoxelize, voxelize_avg
-from ..layers import BLOCKS, ConvBNReLU
+from ..layers import BLOCKS, ConvBNReLU, ConvPlan
 from ..range2d.blocks import ResContextBlock, SalsaResBlock, SalsaUpBlock
 from .backbone_context import UNetTopology
 from .minkunet import MinkUNet
@@ -103,7 +103,10 @@ class SparseEncoderFov(nn.Module):
             (jnp.arange(l.coords.shape[0], dtype=jnp.int32) < l.num)
             for l in levels
         ]
-        k3 = [(l.rb_k3, None) for l in levels]
+        k3 = [
+            ConvPlan(l.rb_k3, None, tgf=l.tgf, tgf_bwd=l.tgf_bwd)
+            for l in levels
+        ]
 
         def stack(x, out_ch, n, rbs, mask, name):
             for i in range(n):

@@ -22,14 +22,18 @@ all valid keys and (b) can never equal a valid reference key.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 # Sentinel for invalid rows in a *reference* set (padding voxels): sorts last.
-REF_SENTINEL_HI = jnp.int32(2**31 - 1)
+# Host-side numpy constants: creating jnp scalars at module scope would
+# initialize the default device backend on package import (device-free tools
+# like tta_remap.py must stay importable when no accelerator is reachable).
+REF_SENTINEL_HI = np.int32(2**31 - 1)
 # Sentinel for invalid/out-of-bounds *query* keys: also sorts after all valid
 # keys but is distinct from REF_SENTINEL so a padded reference row can never
 # be "found" by an invalid query.
-QUERY_SENTINEL_HI = jnp.int32(2**31 - 2)
+QUERY_SENTINEL_HI = np.int32(2**31 - 2)
 
 
 @struct.dataclass

@@ -23,10 +23,20 @@ prefix scans, and (few) gathers:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from .coords import GridBounds, QUERY_SENTINEL_HI, pack_keys
+
+
+def _use_join_scan() -> bool:
+    """Fused Pallas post-sort sweep on TPU-family backends only; the XLA
+    cummax formulation below stays the reference (and CPU/test) path."""
+    if os.environ.get("TASEG_NO_JOIN_KERNEL"):
+        return False
+    return jax.default_backend() != "cpu"
 
 
 def unique_coords(
@@ -137,25 +147,52 @@ def join_keys(
     row = jnp.arange(n, dtype=jnp.int32)
     shi, slo2, srow = jax.lax.sort((hi, lo2, row), num_keys=2)
 
-    is_ref = srow < v
-    pos = jnp.arange(n, dtype=jnp.int32)
-    key_differs = jnp.concatenate(
-        [
-            jnp.ones((1,), bool),
-            (shi[1:] != shi[:-1]) | ((slo2[1:] >> 1) != (slo2[:-1] >> 1)),
-        ]
-    )
-    last_boundary = jax.lax.cummax(jnp.where(key_differs, pos, -1))
-    last_ref_pos = jax.lax.cummax(jnp.where(is_ref, pos, -1))
-    ref_id = jax.lax.cummax(
-        jnp.where(is_ref & (srow < num_refs), srow, -1)
-    )
-    matched = (
-        (last_ref_pos >= last_boundary)
-        & (ref_id >= 0)
-        & (shi < QUERY_SENTINEL_HI)
-    )
-    result_sorted = jnp.where(matched, ref_id, -1)
+    if _use_join_scan():
+        # fused Pallas sweep (ops.join_scan): the three cummaxes + match
+        # select in one HBM pass; pad rows carry the query sentinel so
+        # they can never match or register as refs
+        from .join_scan import BLOCK, join_scan
+
+        n_pad = (n + BLOCK - 1) // BLOCK * BLOCK
+        pad = n_pad - n
+        if pad:
+            shi_p = jnp.concatenate(
+                [shi, jnp.full((pad,), QUERY_SENTINEL_HI, jnp.int32)]
+            )
+            slo2_p = jnp.concatenate([slo2, jnp.ones((pad,), jnp.int32)])
+            srow_p = jnp.concatenate(
+                [srow, jnp.full((pad,), 2**30, jnp.int32)]
+            )
+        else:
+            shi_p, slo2_p, srow_p = shi, slo2, srow
+        scalars = jnp.stack(
+            [
+                num_refs.astype(jnp.int32),
+                jnp.int32(v),
+                QUERY_SENTINEL_HI,
+            ]
+        )
+        result_sorted = join_scan(shi_p, slo2_p, srow_p, scalars, n_pad)[:n]
+    else:
+        is_ref = srow < v
+        pos = jnp.arange(n, dtype=jnp.int32)
+        key_differs = jnp.concatenate(
+            [
+                jnp.ones((1,), bool),
+                (shi[1:] != shi[:-1]) | ((slo2[1:] >> 1) != (slo2[:-1] >> 1)),
+            ]
+        )
+        last_boundary = jax.lax.cummax(jnp.where(key_differs, pos, -1))
+        last_ref_pos = jax.lax.cummax(jnp.where(is_ref, pos, -1))
+        ref_id = jax.lax.cummax(
+            jnp.where(is_ref & (srow < num_refs), srow, -1)
+        )
+        matched = (
+            (last_ref_pos >= last_boundary)
+            & (ref_id >= 0)
+            & (shi < QUERY_SENTINEL_HI)
+        )
+        result_sorted = jnp.where(matched, ref_id, -1)
 
     # restore original row order with one more sort (scatter-free)
     _, unsorted = jax.lax.sort((srow, result_sorted), num_keys=1)

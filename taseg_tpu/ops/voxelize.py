@@ -174,27 +174,40 @@ def trilinear_table(
     stride: int,
     bounds: GridBounds,
     with_pairs: bool = True,
+    corner_idx: jnp.ndarray | None = None,
 ) -> DevoxTable:
     """8-corner indices + weights (reference `voxel_to_point` /
     `calc_ti_weights`, minkunet/utils.py:69-105 + torchsparse
-    nn/functional/devoxelize.py:10-48), plus the transposed pair layout."""
+    nn/functional/devoxelize.py:10-48), plus the transposed pair layout.
+
+    `corner_idx` (8, P) skips the 8P-row sort-join when the caller already
+    derived the corner rows (e.g. from the parent chain + k3 rulebook,
+    backbone_context.build_unet_topology)."""
     p = point_coords[:, :3].astype(jnp.float32)
     s = jnp.float32(stride)
     pf = jnp.floor(p / s) * s
 
-    offs = kernel_offsets(2, stride=stride)  # (8, 3); k = 4dx + 2dy + dz
-    corner = pf[None, :, :].astype(jnp.int32) + jnp.asarray(offs)[:, None, :]
-    b = jnp.broadcast_to(
-        point_coords[None, :, 3:4].astype(jnp.int32),
-        (8,) + point_coords[:, :1].shape,
-    )
-    q = jnp.concatenate([corner, b], axis=-1)
-    q_valid = jnp.broadcast_to(point_valid[None, :], (8, p.shape[0]))
-    idx = query_coords(q, q_valid, voxel_coords, num_voxels, bounds)
+    if corner_idx is not None:
+        idx = corner_idx
+    else:
+        offs = kernel_offsets(2, stride=stride)  # (8, 3); k = 4dx+2dy+dz
+        corner = (
+            pf[None, :, :].astype(jnp.int32) + jnp.asarray(offs)[:, None, :]
+        )
+        b = jnp.broadcast_to(
+            point_coords[None, :, 3:4].astype(jnp.int32),
+            (8,) + point_coords[:, :1].shape,
+        )
+        q = jnp.concatenate([corner, b], axis=-1)
+        q_valid = jnp.broadcast_to(point_valid[None, :], (8, p.shape[0]))
+        idx = query_coords(q, q_valid, voxel_coords, num_voxels, bounds)
 
     frac = (p - pf) / s
     one = 1.0 - frac
-    d = (jnp.asarray(offs) // max(stride, 1)).astype(jnp.float32)
+    # corner bit pattern (k = 4*jx + 2*jy + jz), valid for both branches
+    d = jnp.asarray(
+        [[(k >> 2) & 1, (k >> 1) & 1, k & 1] for k in range(8)], jnp.float32
+    )
     w = jnp.prod(
         jnp.where(d[:, None, :] > 0, frac[None, :, :], one[None, :, :]),
         axis=-1,

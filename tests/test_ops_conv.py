@@ -282,3 +282,128 @@ def test_conv_gradients_match_fd():
         fd = (loss(w, f0.at[i, j].add(eps)) -
               loss(w, f0.at[i, j].add(-eps))) / (2 * eps)
         np.testing.assert_allclose(g_f[i, j], fd, rtol=2e-2, atol=1e-2)
+
+
+def test_tgf_conv_matches_reference_conv():
+    """TGF (9-gather, transform-first) vs the 27-gather conv: exact parity
+    in f32 on random grids, which exercise every (dy-1, dy0, dy+1)
+    presence pattern incl. the stacked fallback variants (ops/tgf.py)."""
+    from taseg_tpu.ops.tgf import build_tgf_tables, tgf_conv_apply
+
+    for seed, n, span in ((3, 200, 12), (11, 60, 5), (23, 400, 9)):
+        rng = np.random.default_rng(seed)
+        cin, cout, cap = 8, 16, 512
+        coords, feats, ucoords, num, feats_sorted, bounds = make_grid(
+            rng, n=n, span=span, cap=cap, cin=cin
+        )
+        offs = kernel_offsets(3, stride=1)
+        w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+        rb = build_rulebook(ucoords, num, ucoords, num, offs, bounds)
+        tab = build_tgf_tables(rb, ucoords, num, 1, bounds)
+        tab_b = build_tgf_tables(
+            flip_rulebook(rb), ucoords, num, 1, bounds, flipped=True
+        )
+        f0 = jnp.asarray(feats_sorted)
+
+        ref = sparse_conv_apply(f0, w, rb, flip_rulebook(rb))
+        out = tgf_conv_apply(f0, w, tab, tab_b, rb)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+        # gradients: both are custom VJPs — must agree exactly in f32
+        def loss_ref(w, f):
+            return jnp.sum(sparse_conv_apply(f, w, rb, flip_rulebook(rb)) ** 2)
+
+        def loss_tgf(w, f):
+            return jnp.sum(tgf_conv_apply(f, w, tab, tab_b, rb) ** 2)
+
+        gw_r, gf_r = jax.grad(loss_ref, argnums=(0, 1))(w, f0)
+        gw_t, gf_t = jax.grad(loss_tgf, argnums=(0, 1))(w, f0)
+        np.testing.assert_allclose(
+            np.asarray(gf_t), np.asarray(gf_r), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gw_t), np.asarray(gw_r), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_tgf_conv_strided_level_keys():
+    """At stride-s levels the y-neighbor key delta is s; verify TGF parity
+    on a coarsened coordinate set (stride 2)."""
+    from taseg_tpu.ops.tgf import build_tgf_tables, tgf_conv_apply
+
+    rng = np.random.default_rng(5)
+    cin, cout, cap = 8, 8, 256
+    coords, feats, ucoords, num, feats_sorted, bounds = make_grid(
+        rng, n=300, span=14, cin=cin
+    )
+    c2, n2 = spdownsample(ucoords, num, 2, 1, bounds, cap)
+    offs = kernel_offsets(3, stride=2)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+    rb = build_rulebook(c2, n2, c2, n2, offs, bounds)
+    tab = build_tgf_tables(rb, c2, n2, 2, bounds)
+    tab_b = build_tgf_tables(flip_rulebook(rb), c2, n2, 2, bounds, flipped=True)
+    f = jnp.asarray(rng.normal(size=(cap, cin)).astype(np.float32))
+    f = jnp.where((jnp.arange(cap) < n2)[:, None], f, 0)
+    ref = sparse_conv_apply(f, w, rb, flip_rulebook(rb))
+    out = tgf_conv_apply(f, w, tab, tab_b, rb)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_topology_devox_matches_join_tables():
+    """The parent-chain + rulebook corner derivation in
+    build_unet_topology must reproduce the sort-join trilinear tables
+    exactly — including negative coords, where floor() corner bases
+    differ from the trunc() downsample ancestors."""
+    from taseg_tpu.models.voxel.backbone_context import (
+        UNetCapacities,
+        build_unet_topology,
+    )
+
+    rng = np.random.default_rng(9)
+    n, cap = 900, 1024
+    # integer coords spanning negative territory, two batches
+    pts = np.concatenate(
+        [
+            rng.integers(-40, 40, size=(n, 3)),
+            rng.integers(0, 2, size=(n, 1)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    pts = np.unique(pts, axis=0)
+    coords = np.zeros((cap, 4), np.float32)
+    coords[: len(pts)] = pts
+    num = jnp.int32(len(pts))
+    # non-overflowing capacities: the dense random cloud exceeds the
+    # LiDAR occupancy schedule at L2+, and under capacity overflow the
+    # parent-chain derivation legitimately diverges (-1 for children of
+    # dropped voxels, which is the telemetry-guarded error state)
+    caps = UNetCapacities(points=cap, voxels=(cap, cap, cap, cap, cap))
+    topo = build_unet_topology(
+        jnp.asarray(coords), num, caps, point_voxel_strides=(4,)
+    )
+    valid = jnp.arange(cap) < num
+    for s in (4, 16):
+        l = s.bit_length() - 1
+        ref = trilinear_table(
+            jnp.asarray(coords), valid, topo.levels[l].coords,
+            topo.levels[l].num, s, topo.bounds,
+        )
+        got = topo.devox[s]
+        np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+        np.testing.assert_allclose(
+            np.asarray(got.weights), np.asarray(ref.weights), atol=1e-6
+        )
+    # point->voxel at stride 4: floor-corner lookup vs the join query
+    from taseg_tpu.ops import point_to_voxel_index
+
+    ref_inv = point_to_voxel_index(
+        jnp.asarray(coords), valid, topo.levels[2].coords,
+        topo.levels[2].num, 4, topo.bounds,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(topo.point_vox[4][0]), np.asarray(ref_inv)
+    )

@@ -130,3 +130,69 @@ def test_query_respects_num_refs():
         jnp.asarray(q), jnp.asarray(np.ones(1, bool)), ucoords, num, bounds
     )
     assert int(idx[0]) == -1
+
+
+def test_join_scan_kernel_matches_xla_formulation():
+    """The fused Pallas post-sort sweep (ops.join_scan, interpret mode on
+    CPU) must reproduce the XLA cummax formulation bit-exactly, incl.
+    sentinel rows, invalid refs beyond num_refs, and block-boundary
+    carries (n spans multiple 4096-row blocks)."""
+    import jax
+    import jax.numpy as jnp
+    from taseg_tpu.ops.coords import QUERY_SENTINEL_HI
+    from taseg_tpu.ops.join_scan import BLOCK, join_scan
+
+    rng = np.random.default_rng(17)
+    for trial, (v, q) in enumerate(((600, 2200), (4096, 8192), (33, 40))):
+        n = v + q
+        # random sorted union with heavy key collisions
+        ref_keys = np.sort(rng.integers(0, v, size=v).astype(np.int64))
+        ref_keys = np.unique(ref_keys)
+        pad_r = v - len(ref_keys)
+        ref_hi = np.concatenate(
+            [ref_keys // 7, np.full(pad_r, 2**31 - 1)]
+        ).astype(np.int32)
+        ref_lo = np.concatenate(
+            [ref_keys % 7, np.zeros(pad_r)]
+        ).astype(np.int32)
+        q_hi = rng.integers(0, max(v // 7, 2), size=q).astype(np.int32)
+        q_lo = rng.integers(0, 7, size=q).astype(np.int32)
+        # some sentinel queries
+        q_hi[:: 13] = int(QUERY_SENTINEL_HI)
+        q_lo[:: 13] = 0
+        num_refs = jnp.int32(len(ref_keys))
+
+        hi = jnp.concatenate([jnp.asarray(ref_hi), jnp.asarray(q_hi)])
+        lo2 = jnp.concatenate(
+            [jnp.asarray(ref_lo) * 2, jnp.asarray(q_lo) * 2 + 1]
+        )
+        row = jnp.arange(n, dtype=jnp.int32)
+        shi, slo2, srow = jax.lax.sort((hi, lo2, row), num_keys=2)
+
+        # XLA reference
+        is_ref = srow < v
+        pos = jnp.arange(n, dtype=jnp.int32)
+        key_differs = jnp.concatenate(
+            [
+                jnp.ones((1,), bool),
+                (shi[1:] != shi[:-1]) | ((slo2[1:] >> 1) != (slo2[:-1] >> 1)),
+            ]
+        )
+        lb = jax.lax.cummax(jnp.where(key_differs, pos, -1))
+        lr = jax.lax.cummax(jnp.where(is_ref, pos, -1))
+        ri = jax.lax.cummax(jnp.where(is_ref & (srow < num_refs), srow, -1))
+        matched = (lr >= lb) & (ri >= 0) & (shi < QUERY_SENTINEL_HI)
+        want = np.asarray(jnp.where(matched, ri, -1))
+
+        n_pad = (n + BLOCK - 1) // BLOCK * BLOCK
+        padn = n_pad - n
+        shi_p = jnp.concatenate(
+            [shi, jnp.full((padn,), QUERY_SENTINEL_HI, jnp.int32)]
+        )
+        slo2_p = jnp.concatenate([slo2, jnp.ones((padn,), jnp.int32)])
+        srow_p = jnp.concatenate([srow, jnp.full((padn,), 2**30, jnp.int32)])
+        scalars = jnp.stack([num_refs, jnp.int32(v), QUERY_SENTINEL_HI])
+        got = np.asarray(
+            join_scan(shi_p, slo2_p, srow_p, scalars, n_pad, True)
+        )[:n]
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")

@@ -113,7 +113,8 @@ def test_dp_train_loss_decreases(dp_setup):
     # params stay replicated: step advanced once per call
     assert int(state.step) == 8
 
-    hist, logits = eval_step(state.params, state.batch_stats, batch)
+    hist, logits, level_nums = eval_step(state.params, state.batch_stats, batch)
+    assert np.asarray(level_nums).shape[-1] == 5  # overflow telemetry
     hist = np.asarray(hist)
     assert hist.sum() > 0
     miou = miou_from_hist(hist, ignore_index=0)

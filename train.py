@@ -12,9 +12,20 @@ replacing dist_train.sh / slurm_train.sh port scanning + NCCL init.
 from __future__ import annotations
 
 import argparse
+import os
 from pathlib import Path
 
+# JAX_PLATFORMS=cpu in the env hangs PJRT plugin discovery on hosts whose
+# interpreter pins a tunneled TPU platform; force CPU the config way
+# instead (same pattern as tests/conftest.py)
+_FORCE_CPU = os.environ.get("JAX_PLATFORMS") == "cpu"
+if _FORCE_CPU:
+    os.environ.pop("JAX_PLATFORMS", None)
+
 import jax
+
+if _FORCE_CPU:
+    jax.config.update("jax_platforms", "cpu")
 
 from taseg_tpu.data import build_dataloader
 from taseg_tpu.engine import Trainer

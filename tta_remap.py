@@ -10,6 +10,13 @@ pseudo-mask directories consumed by DATA.PSEUDO_LABEL_ROOT.
 from __future__ import annotations
 
 import argparse
+import os
+
+# JAX_PLATFORMS=cpu in the env hangs PJRT plugin discovery on hosts that
+# pin a tunneled TPU platform; this tool never touches a device, so drop
+# the pin before the package (and so jax) is imported (see train.py)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    os.environ.pop("JAX_PLATFORMS", None)
 
 from taseg_tpu.utils.submission import remap_label_files
 
