@@ -23,7 +23,11 @@ import flax.linen as nn
 from flax import struct
 
 from ..ops import flip_rulebook, sparse_conv_apply
-from ..ops.select_conv import flip_tables, select_conv
+from ..ops.strided_conv import (
+    StridedTables,
+    downsample_conv_apply,
+    upsample_conv_apply,
+)
 from ..ops.tgf import tgf_conv_apply
 
 # C_in at or below which the stride-1 27-point conv routes through the
@@ -31,46 +35,23 @@ from ..ops.tgf import tgf_conv_apply
 # v5e (the transform-side z materialization offsets the gather win above
 # that).  Read once at import; override for A/B sweeps.
 TGF_MAX_CIN = int(os.environ.get("TASEG_TGF_MAX_CIN", "64"))
-from ..ops.strided_conv import (
-    StridedTables,
-    downsample_conv_apply,
-    upsample_conv_apply,
-)
 
 
 @struct.dataclass
 class ConvPlan:
-    """Rulebooks plus (optional) resident-selection kernel tables.
+    """Rulebooks plus (optional) TGF gather plans.
 
-    `rb_bwd=None` means "flip of rb_fwd" (stride-1 odd kernels).  `sel`
-    maps pack factor gp -> SelectTables for rb_fwd; `sel_bwd` likewise for
-    rb_bwd (for the flip case it is derived lazily by flipping `sel`).
-    When tables for both directions exist and the resident array fits in
-    VMEM, SparseConv runs the Pallas selection kernel (ops.select_conv);
-    otherwise it falls back to the XLA gather path (ops.sparse_conv)."""
+    `rb_bwd=None` means "flip of rb_fwd" (stride-1 odd kernels).  When the
+    TGF tables are present and C_in is at or below the routing threshold,
+    SparseConv runs the 9-gather transform-first path (ops.tgf);
+    otherwise the 27-gather XLA path (ops.sparse_conv)."""
 
     rb_fwd: object
     rb_bwd: object = None
-    sel: dict = struct.field(default_factory=dict)
-    sel_bwd: dict = struct.field(default_factory=dict)
     # TGF gather plans (ops.tgf) for the stride-1 27-point case; used for
     # convs whose C_in is at or below the TGF channel threshold
     tgf: object = None
     tgf_bwd: object = None
-
-
-def _gp_target(c: int) -> tuple[int, int]:
-    """(pack factor, padded channel count) the selection kernel would use
-    for a c-channel operand."""
-    for pad in (16, 32, 64):
-        if c <= pad:
-            return 128 // pad, pad
-    return 1, (c + 127) // 128 * 128
-
-
-def _fits_vmem(tab, lanes: int) -> bool:
-    # the kernel keeps the packed (v_in/gp, lanes) bf16 array resident
-    return (tab.v_in // tab.gp) * max(lanes, 128) * 2 <= 11 * 1024 * 1024
 
 
 def _conv_init(kernel_volume: int, fan: int):
@@ -157,35 +138,9 @@ class SparseConv(nn.Module):
                     )
                     out = out + b
                 return out
-            gp_i, c_pad = _gp_target(c_in)
-            gp_o, co_pad = _gp_target(c_out)
-            tab = plan.sel.get(gp_i)
-            if plan.sel_bwd:
-                tab_b = plan.sel_bwd.get(gp_o)
-            elif rb_bwd is None and gp_o in plan.sel:
-                tab_b = flip_tables(plan.sel[gp_o])
-            else:
-                tab_b = None
-            if (
-                tab is not None
-                and tab_b is not None
-                and _fits_vmem(tab, c_pad)
-                and _fits_vmem(tab_b, co_pad)
-            ):
-                f = feats
-                wk = w
-                if c_pad != c_in:
-                    f = jnp.pad(feats, ((0, 0), (0, c_pad - c_in)))
-                    wk = jnp.pad(w, ((0, 0), (0, c_pad - c_in), (0, 0)))
-                if co_pad != c_out:
-                    wk = jnp.pad(wk, ((0, 0), (0, 0), (0, co_pad - c_out)))
-                out = select_conv(f, wk, tab, tab_b, rb_fwd)
-                if co_pad != c_out:
-                    out = out[:, :c_out]
-            else:
-                if rb_bwd is None:
-                    rb_bwd = flip_rulebook(rb_fwd)
-                out = sparse_conv_apply(feats, w, rb_fwd, rb_bwd)
+            if rb_bwd is None:
+                rb_bwd = flip_rulebook(rb_fwd)
+            out = sparse_conv_apply(feats, w, rb_fwd, rb_bwd)
         if self.use_bias:
             b = self.param(
                 "bias", _conv_init(self.kernel_volume, fan), (self.out_channels,)

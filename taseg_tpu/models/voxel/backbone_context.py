@@ -23,7 +23,6 @@ from ...ops import (
     GridBounds,
     IdentityDevoxTable,
     build_rulebook,
-    build_rulebook_fast,
     build_segment_tables,
     compute_bounds,
     kernel_offsets,
@@ -32,7 +31,6 @@ from ...ops import (
     trilinear_table,
     unique_coords,
 )
-from ...ops.select_conv import build_select_tables, group_factor
 from ...ops.strided_conv import build_strided_tables
 from ...ops.tgf import build_tgf_tables
 
@@ -62,7 +60,7 @@ class UNetCapacities:
         points: int, num_levels: int = 5, schedule=None
     ) -> "UNetCapacities":
         sched = schedule or UNetCapacities.DEFAULT_SCHEDULE
-        # capacities are rounded to 256 (the select-conv output tile)
+        # capacities are rounded to 256 (gather/matmul tile alignment)
         voxels = tuple(
             max(
                 512,
@@ -106,10 +104,6 @@ class LevelTopo:
     # out of it (ops.strided_conv) — replaces the dense rb_down/rb_up
     # 8-offset rulebooks and their sort-joins; None at level 0
     strided: object = None
-    # gp (= 128 // C_in pack factor) -> SelectTables for the Pallas
-    # selection conv over rb_k3 (ops.select_conv); empty when the topology
-    # was built without `select_gps`
-    sel_k3: dict = struct.field(default_factory=dict)
     # TGF gather plans (ops.tgf) for rb_k3 and its flip — 9 row gathers
     # instead of 27 for narrow-channel convs
     tgf: object = None
@@ -140,7 +134,6 @@ def build_unet_topology(
     integral_points: bool = True,
     point_voxel_strides: tuple[int, ...] = (),
     devox_pairs: bool = True,
-    select_gps: tuple = (),
 ) -> UNetTopology:
     """Build the full MinkUNet topology from float point coords (P, 4).
 
@@ -165,19 +158,6 @@ def build_unet_topology(
     )
     point_tables = build_segment_tables(inverse, caps.voxels[0])
 
-    def _sel_tables(rb, v_in, level):
-        """Selection-kernel tables per pack factor for this level; the
-        gp values come from the model's channel plan (`select_gps`), and a
-        table is only built when the packed array fits comfortably in VMEM
-        (the kernel keeps it resident)."""
-        out = {}
-        gps = select_gps[level] if level < len(select_gps) else ()
-        for gp in gps:
-            if (v_in // gp) * 128 * 2 > 11 * 1024 * 1024:
-                continue  # resident packed array would not fit in VMEM
-            out[gp] = build_select_tables(rb, v_in, 128 // gp)
-        return out
-
     def _tgf_pair(rb, coords, num, stride):
         # the flipped tables only serve the gradient path; inference
         # topologies (devox_pairs=False) skip them like the devox pairs
@@ -197,7 +177,6 @@ def build_unet_topology(
     levels.append(
         LevelTopo(
             coords=coords0, num=num0, rb_k3=rb_k3,
-            sel_k3=_sel_tables(rb_k3, coords0.shape[0], 0),
             tgf=tgf0, tgf_bwd=tgf0_b,
         )
     )
@@ -223,7 +202,6 @@ def build_unet_topology(
         levels.append(
             LevelTopo(
                 coords=coords_l, num=num_l, rb_k3=rb_k3, strided=strided,
-                sel_k3=_sel_tables(rb_k3, coords_l.shape[0], l),
                 tgf=tgf_l, tgf_bwd=tgf_l_b,
             )
         )

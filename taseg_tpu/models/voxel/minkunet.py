@@ -115,12 +115,10 @@ class MinkUNet(nn.Module):
         x0 = x0.astype(self.compute_dtype)
 
         # stem: two 3^3 convs at stride 1 (minkunet.py:207-222); the
-        # backward rulebook of a same-level odd kernel is the flip (None);
-        # sel_k3 tables (when the topology built them) route each conv
-        # through the Pallas selection kernel
+        # backward rulebook of a same-level odd kernel is the flip (None)
         k3 = [
             ConvPlan(
-                l.rb_k3, None, sel=l.sel_k3, tgf=l.tgf, tgf_bwd=l.tgf_bwd
+                l.rb_k3, None, tgf=l.tgf, tgf_bwd=l.tgf_bwd
             )
             for l in levels
         ]
@@ -190,30 +188,3 @@ class MinkUNet(nn.Module):
             ).astype(jnp.float32)
             return logits, z
         return logits
-
-
-def unet_select_gps(
-    cr: float = 1.0,
-    planes: Sequence[int] = (32, 32, 64, 128, 256, 256, 128, 96, 96),
-    in_dim: int = 4,
-) -> tuple:
-    """Per-level pack-factor sets for `build_unet_topology(select_gps=...)`.
-
-    Enumerates the channel widths each level's 3^3 convs see (stem input,
-    encoder stage, decoder concat + stage) and maps them to the selection
-    kernel's pack factors; the topology builder drops any entry whose
-    resident array would not fit in VMEM."""
-    from ..layers import _gp_target
-
-    cs = [int(cr * x) for x in planes]
-    per_level = [
-        [in_dim, cs[0], cs[8] + cs[0], cs[8]],
-        [cs[1], cs[7] + cs[1], cs[7]],
-        [cs[2], cs[6] + cs[2], cs[6]],
-        [cs[3], cs[5] + cs[3], cs[5]],
-        [cs[4]],
-    ]
-    return tuple(
-        tuple(sorted({_gp_target(c)[0] for c in chans}))
-        for chans in per_level
-    )

@@ -20,7 +20,6 @@ from .quantize import quantize_coords, sparse_quantize
 from .rulebook import (
     build_reverse_rulebook,
     build_rulebook,
-    build_rulebook_fast,
     kernel_offsets,
     make_ntuple,
     spdownsample,
@@ -54,7 +53,6 @@ __all__ = [
     "StridedTables",
     "build_reverse_rulebook",
     "build_rulebook",
-    "build_rulebook_fast",
     "build_segment_tables",
     "build_strided_tables",
     "compute_bounds",

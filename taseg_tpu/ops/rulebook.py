@@ -131,39 +131,3 @@ def build_reverse_rulebook(
     return build_rulebook(
         in_coords, num_in, out_coords, num_out, -np.asarray(offsets), bounds
     )
-
-
-def build_rulebook_fast(
-    out_coords: jnp.ndarray,
-    num_out: jnp.ndarray,
-    in_coords: jnp.ndarray,
-    num_in: jnp.ndarray,
-    offsets: np.ndarray,
-    bounds: GridBounds,
-) -> jnp.ndarray:
-    """`build_rulebook` via the two-level probe join (ops.probe_join).
-
-    Exploits that every offset's query stream is the key-sorted
-    out_coords shifted by a CONSTANT packed-key delta (hi += dz,
-    lo += dx*extent_y + dy — exact because compute_bounds' margin keeps
-    shifted coords in range), so the giant union sort of the general
-    join collapses to two small rank sorts plus windowed compares."""
-    from .coords import QUERY_SENTINEL_HI, pack_keys
-    from .probe_join import probe_join
-
-    k = offsets.shape[0]
-    vo = out_coords.shape[0]
-    valid = jnp.arange(vo, dtype=jnp.int32) < num_out
-    base_hi, base_lo = pack_keys(out_coords, bounds, valid, is_query=True)
-    offs = jnp.asarray(np.asarray(offsets), jnp.int32)
-    d_hi = offs[:, 2]  # dz
-    d_lo = offs[:, 0] * bounds.extent[1] + offs[:, 1]  # dx*EY + dy
-    sent = base_hi >= QUERY_SENTINEL_HI
-    q_hi = jnp.where(
-        sent[None, :], QUERY_SENTINEL_HI, base_hi[None, :] + d_hi[:, None]
-    )
-    q_lo = jnp.where(sent[None, :], 0, base_lo[None, :] + d_lo[:, None])
-
-    ref_valid = jnp.arange(in_coords.shape[0], dtype=jnp.int32) < num_in
-    ref_hi, ref_lo = pack_keys(in_coords, bounds, ref_valid)
-    return probe_join(ref_hi, ref_lo, num_in, q_hi, q_lo)
