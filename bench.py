@@ -110,7 +110,19 @@ def main():
     topo_fn = jax.jit(
         lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
     )
-    topo = topo_fn(coords, num)
+    try:
+        topo = jax.block_until_ready(topo_fn(coords, num))
+    except Exception as e:  # pragma: no cover — backend-specific safety
+        # fall back to the pure-XLA join path if the Pallas join-scan
+        # kernel cannot compile/run on this backend revision
+        import sys
+
+        print(f"join kernel disabled: {type(e).__name__}", file=sys.stderr)
+        os.environ["TASEG_NO_JOIN_KERNEL"] = "1"
+        topo_fn = jax.jit(
+            lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
+        )
+        topo = topo_fn(coords, num)
     # calibration pass: fit level capacities to the measured occupancy
     # (+10%), as a deployment derives them from dataset statistics
     # (UNetCapacities.fit) — padding rows cost gather/sort/matmul time on

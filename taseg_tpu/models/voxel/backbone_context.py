@@ -23,6 +23,7 @@ from ...ops import (
     GridBounds,
     IdentityDevoxTable,
     build_rulebook,
+    build_rulebook_k3,
     build_segment_tables,
     compute_bounds,
     kernel_offsets,
@@ -92,6 +93,19 @@ class UNetCapacities:
             for n in level_nums
         )
         return UNetCapacities(points=points, voxels=voxels)
+
+
+def _rb_k3(coords, num, stride, bounds):
+    """Same-level 3^3 rulebook — grouped floor-join build by default
+    (9V join rows instead of 27V, exactly equivalent); the dense 27-query
+    build stays available as a fallback/oracle via TASEG_NO_GROUPED_RB."""
+    import os
+
+    if os.environ.get("TASEG_NO_GROUPED_RB"):
+        return build_rulebook(
+            coords, num, coords, num, kernel_offsets(3, stride=stride), bounds
+        )
+    return build_rulebook_k3(coords, num, stride, bounds)
 
 
 @struct.dataclass
@@ -170,9 +184,7 @@ def build_unet_topology(
         )
 
     levels = []
-    rb_k3 = build_rulebook(
-        coords0, num0, coords0, num0, kernel_offsets(3, stride=1), bounds
-    )
+    rb_k3 = _rb_k3(coords0, num0, 1, bounds)
     tgf0, tgf0_b = _tgf_pair(rb_k3, coords0, num0, 1)
     levels.append(
         LevelTopo(
@@ -195,9 +207,7 @@ def build_unet_topology(
         strided = build_strided_tables(
             prev_coords, prev_num, parent, counts, perm, s_prev
         )
-        rb_k3 = build_rulebook(
-            coords_l, num_l, coords_l, num_l, kernel_offsets(3, stride=s), bounds
-        )
+        rb_k3 = _rb_k3(coords_l, num_l, s, bounds)
         tgf_l, tgf_l_b = _tgf_pair(rb_k3, coords_l, num_l, s)
         levels.append(
             LevelTopo(

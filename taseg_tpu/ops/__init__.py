@@ -20,6 +20,7 @@ from .quantize import quantize_coords, sparse_quantize
 from .rulebook import (
     build_reverse_rulebook,
     build_rulebook,
+    build_rulebook_k3,
     kernel_offsets,
     make_ntuple,
     spdownsample,
@@ -53,6 +54,7 @@ __all__ = [
     "StridedTables",
     "build_reverse_rulebook",
     "build_rulebook",
+    "build_rulebook_k3",
     "build_segment_tables",
     "build_strided_tables",
     "compute_bounds",

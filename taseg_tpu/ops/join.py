@@ -118,8 +118,18 @@ def join_keys(
     num_refs: jnp.ndarray,
     q_hi: jnp.ndarray,
     q_lo: jnp.ndarray,
+    *,
+    floor: bool = False,
 ) -> jnp.ndarray:
     """For each query key, the index of the equal reference key or -1.
+
+    With `floor=True`, returns the encoded FLOOR result `f * 2 + exact`
+    instead: f is the index of the largest reference key <= the query key
+    (-1 when the query sorts before every reference, encoding -2), exact
+    is 1 iff ref[f] equals the query key.  Because references are unique
+    and ascending, f + 1 is the ceil reference — `build_rulebook_k3`
+    reconstructs all 27 kernel-offset columns from 9 floor queries this
+    way.
 
     Requirements (both satisfied by `unique_coords` output): reference keys
     are unique among their first `num_refs` rows AND key-sorted ascending.
@@ -170,6 +180,7 @@ def join_keys(
                 num_refs.astype(jnp.int32),
                 jnp.int32(v),
                 QUERY_SENTINEL_HI,
+                jnp.int32(1 if floor else 0),
             ]
         )
         result_sorted = join_scan(shi_p, slo2_p, srow_p, scalars, n_pad)[:n]
@@ -192,7 +203,14 @@ def join_keys(
             & (ref_id >= 0)
             & (shi < QUERY_SENTINEL_HI)
         )
-        result_sorted = jnp.where(matched, ref_id, -1)
+        if floor:
+            result_sorted = jnp.where(
+                shi < QUERY_SENTINEL_HI,
+                ref_id * 2 + matched.astype(jnp.int32),
+                -2,
+            )
+        else:
+            result_sorted = jnp.where(matched, ref_id, -1)
 
     # restore original row order with one more sort (scatter-free)
     _, unsorted = jax.lax.sort((srow, result_sorted), num_keys=1)

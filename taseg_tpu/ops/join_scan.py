@@ -75,7 +75,12 @@ def _cummax_rowmajor(x, carry_scalar):
 
 
 def _kernel(nref_ref, shi_ref, slo2_ref, srow_ref, out_ref, carry):
-    """carry (SMEM, 5): prev_hi, prev_lokey, c_bound, c_refpos, c_refid."""
+    """carry (SMEM, 5): prev_hi, prev_lokey, c_bound, c_refpos, c_refid.
+
+    scalars[3] selects the output encoding: 0 -> matched ref id or -1
+    (classic join); 1 -> floor encoding `refid * 2 + exact` (-2 when no
+    reference sorts at-or-before the row), consumed by
+    `join.floor_join_keys` for the grouped rulebook build."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -92,6 +97,7 @@ def _kernel(nref_ref, shi_ref, slo2_ref, srow_ref, out_ref, carry):
     num_refs = nref_ref[0]
     v = nref_ref[1]
     qsent = nref_ref[2]
+    mode = nref_ref[3]
 
     pos0 = i * BLOCK
     lane = jax.lax.broadcasted_iota(jnp.int32, shi.shape, 1)
@@ -110,7 +116,12 @@ def _kernel(nref_ref, shi_ref, slo2_ref, srow_ref, out_ref, carry):
     refid = _cummax_rowmajor(jnp.where(ref_valid, srow, -1), carry[4])
 
     matched = (refpos >= bound) & (refid >= 0) & (shi < qsent)
-    out_ref[...] = jnp.where(matched, refid, -1)
+    floor_enc = jnp.where(
+        shi < qsent, refid * 2 + matched.astype(jnp.int32), -2
+    )
+    out_ref[...] = jnp.where(
+        mode == 1, floor_enc, jnp.where(matched, refid, -1)
+    )
 
     carry[0] = shi[SUB - 1, LANE - 1]
     carry[1] = lokey[SUB - 1, LANE - 1]
@@ -124,7 +135,7 @@ def join_scan(shi, slo2, srow, scalars, n_pad, interpret=False):
     """Fused post-sort join scan.
 
     shi/slo2/srow: (n,) int32 sorted union (refs tagged via slo2 low bit).
-    scalars: (3,) int32 — (num_refs, v, QUERY_SENTINEL_HI).
+    scalars: (4,) int32 — (num_refs, v, QUERY_SENTINEL_HI, mode).
     n_pad: static padded length (multiple of BLOCK; pad rows must carry
     sentinel hi so they never match).
     Returns result_sorted (n_pad,) int32.

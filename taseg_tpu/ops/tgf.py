@@ -145,30 +145,39 @@ def _take_rows(s: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _tgf_fwd_impl(feats, weight, tab: TgfTables):
+    """Per group: ONE (C_in, 3*C_out) matmul (the three dy weight slices
+    share the input, and a 3x-wider N dim keeps the 128-lane MXU fed at
+    narrow channel counts), then the 9 groups' [E; FL; FR] stacks are
+    fused into a single (27V, C_out) array served by ONE gather — 9V rows
+    in one launch instead of nine (the per-launch overhead dominates at
+    the small coarse levels)."""
     w = weight.astype(feats.dtype)
     u1 = tab.u1[:, None].astype(feats.dtype)
     d1 = tab.d1[:, None].astype(feats.dtype)
     u2 = tab.u2[:, None].astype(feats.dtype)
-    out = None
+    v = tab.idx.shape[1]
+    c_out = weight.shape[2]
+    parts = []
     for g in range(9):
         km, kc, kp = tab.cols[g]
-        zm = jnp.dot(feats, w[km], preferred_element_type=jnp.float32).astype(
+        wg = jnp.concatenate([w[km], w[kc], w[kp]], axis=1)  # (C_in, 3C)
+        z = jnp.dot(feats, wg, preferred_element_type=jnp.float32).astype(
             feats.dtype
         )
-        zc = jnp.dot(feats, w[kc], preferred_element_type=jnp.float32).astype(
-            feats.dtype
-        )
-        zp = jnp.dot(feats, w[kp], preferred_element_type=jnp.float32).astype(
-            feats.dtype
-        )
+        zm = z[:, :c_out]
+        zc = z[:, c_out : 2 * c_out]
+        zp = z[:, 2 * c_out :]
         zp_up = _up(zp)
         e = zc + d1 * _down(zm) + u1 * zp_up
         fl = zm + u2 * zp_up
-        s = jnp.concatenate([e, fl, zp], 0)  # (3V, C_out)
-        rows = _take_rows(s, tab.idx[g])
-        c = jnp.where(tab.mask[g][:, None], rows, 0)
-        out = c if out is None else out + c
-    return out
+        parts.append(jnp.concatenate([e, fl, zp], 0))  # (3V, C_out)
+    s_all = jnp.concatenate(parts, 0)  # (27V, C_out)
+    idx_all = (
+        tab.idx + (jnp.arange(9, dtype=jnp.int32) * (3 * v))[:, None]
+    ).reshape(-1)
+    rows = _take_rows(s_all, idx_all).reshape(9, v, c_out)
+    masked = jnp.where(tab.mask[:, :, None], rows, 0).astype(jnp.float32)
+    return jnp.sum(masked, axis=0).astype(feats.dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())

@@ -191,8 +191,61 @@ def test_join_scan_kernel_matches_xla_formulation():
         )
         slo2_p = jnp.concatenate([slo2, jnp.ones((padn,), jnp.int32)])
         srow_p = jnp.concatenate([srow, jnp.full((padn,), 2**30, jnp.int32)])
-        scalars = jnp.stack([num_refs, jnp.int32(v), QUERY_SENTINEL_HI])
+        scalars = jnp.stack(
+            [num_refs, jnp.int32(v), QUERY_SENTINEL_HI, jnp.int32(0)]
+        )
         got = np.asarray(
             join_scan(shi_p, slo2_p, srow_p, scalars, n_pad, True)
         )[:n]
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+        # floor mode (scalars[3] == 1): refid * 2 + exact, -2 when no
+        # reference sorts at-or-before the row
+        want_floor = np.asarray(
+            jnp.where(
+                shi < QUERY_SENTINEL_HI, ri * 2 + matched.astype(jnp.int32), -2
+            )
+        )
+        scalars_f = jnp.stack(
+            [num_refs, jnp.int32(v), QUERY_SENTINEL_HI, jnp.int32(1)]
+        )
+        got_f = np.asarray(
+            join_scan(shi_p, slo2_p, srow_p, scalars_f, n_pad, True)
+        )[:n]
+        np.testing.assert_array_equal(
+            got_f, want_floor, err_msg=f"floor trial {trial}"
+        )
+
+
+@pytest.mark.parametrize("seed,stride", [(3, 1), (4, 2), (5, 4), (6, 16)])
+def test_grouped_k3_rulebook_matches_dense_build(seed, stride):
+    """`build_rulebook_k3` (9 floor queries + neighbor reconstruction)
+    must reproduce the 27-query dense build exactly — including negative
+    coords, multiple batches, padding rows, and sparse/dense regimes."""
+    from taseg_tpu.ops import (
+        build_rulebook,
+        build_rulebook_k3,
+        kernel_offsets,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, cap = 700, 1024
+    # stride-aligned coords (as produced by spdownsample at this level):
+    # a dense clump (many neighbors) + sparse outliers (isolated voxels)
+    dense = random_coords(rng, n // 2, lo=-4, hi=4) * stride
+    sparse = random_coords(rng, n - n // 2, lo=-30, hi=30) * stride
+    coords = np.concatenate([dense, sparse])
+    coords[:, 3] = np.abs(coords[:, 3]) // stride % 2  # 2 batches
+    valid = rng.random(n) > 0.05
+    bounds = compute_bounds(jnp.asarray(coords), jnp.asarray(valid))
+    ucoords, num, _, _ = unique_coords(
+        jnp.asarray(coords), jnp.asarray(valid), bounds, cap
+    )
+    want = np.asarray(
+        build_rulebook(
+            ucoords, num, ucoords, num,
+            kernel_offsets(3, stride=stride), bounds,
+        )
+    )
+    got = np.asarray(build_rulebook_k3(ucoords, num, stride, bounds))
+    np.testing.assert_array_equal(got, want)
