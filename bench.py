@@ -163,6 +163,30 @@ def main():
     )
     t_apply = _time(apply_fn, params, points, topo, n=n_iter)
 
+    # ---- optional topology decomposition (TASEG_BENCH_TOPO_DETAIL=1):
+    # cumulative level builds + devox-table cost via the public num_levels/
+    # devox_strides knobs — deltas localize the per-level sort/join cost ---
+    topo_detail = None
+    if os.environ.get("TASEG_BENCH_TOPO_DETAIL"):
+        topo_detail = {}
+        prev = 0.0
+        for nl in range(1, 6):
+            fn = jax.jit(
+                lambda c, n, nl=nl: build_unet_topology(
+                    c, n, caps, num_levels=nl, devox_strides=(),
+                    devox_pairs=False,
+                )
+            )
+            t = _time(fn, coords, num, n=n_iter)
+            topo_detail[f"levels_1to{nl}_ms"] = round(t * 1e3, 2)
+            topo_detail[f"level{nl - 1}_delta_ms"] = round(
+                (t - prev) * 1e3, 2
+            )
+            prev = t
+        topo_detail["devox_tables_ms"] = round(
+            (t_topo - prev) * 1e3, 2
+        )
+
     # ---- conv FLOPs implied by the actual rulebooks -----------------------
     nnz = {}
     for l, lt in enumerate(topo.levels):
@@ -210,6 +234,9 @@ def main():
                     "conv_achieved_tfs": round(achieved_tfs, 2),
                     "mxu_probe_tfs": round(probe_tfs, 1),
                     "conv_mfu_vs_probe": round(achieved_tfs / probe_tfs, 3),
+                    **(
+                        {"topo_detail": topo_detail} if topo_detail else {}
+                    ),
                 },
             }
         )

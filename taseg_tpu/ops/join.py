@@ -46,6 +46,7 @@ def unique_coords(
     capacity: int,
     *,
     return_perm: bool = False,
+    assume_sorted: bool = False,
 ) -> tuple:
     """Deduplicate (N, 4) int coords into a capacity-padded unique set.
 
@@ -58,6 +59,13 @@ def unique_coords(
     [starts[u], starts[u+1]) for starts = exclusive-cumsum(counts) —
     invalid rows sort last.  The strided-conv segment sums consume this
     (ops.strided_conv).
+
+    `assume_sorted=True` asserts the input rows are already key-sorted
+    non-decreasing with every valid row before every invalid one — true
+    for `spdownsample` inputs, whose parent keys are per-component floor
+    divisions of an already-sorted level (lex-monotone).  The main sort
+    and the inverse back-sort are then skipped entirely (the permutation
+    is the identity); only the compaction sort remains.
     """
     n_in = coords.shape[0]
     if n_in < capacity:  # pad so compaction slices below are well-formed
@@ -69,7 +77,10 @@ def unique_coords(
     n = coords.shape[0]
     hi, lo = pack_keys(coords, bounds, valid)
     perm = jnp.arange(n, dtype=jnp.int32)
-    shi, slo, sperm = jax.lax.sort((hi, lo, perm), num_keys=2)
+    if assume_sorted:
+        shi, slo, sperm = hi, lo, perm
+    else:
+        shi, slo, sperm = jax.lax.sort((hi, lo, perm), num_keys=2)
 
     valid_sorted = shi < QUERY_SENTINEL_HI
     prev_differs = jnp.concatenate(
@@ -81,7 +92,10 @@ def unique_coords(
     uid_ok = jnp.where(valid_sorted & (uid < capacity), uid, -1)
 
     # inverse map without scatter: sort (orig_row -> uid) pairs back
-    _, inverse = jax.lax.sort((sperm, uid_ok), num_keys=1)
+    if assume_sorted:
+        inverse = uid_ok
+    else:
+        _, inverse = jax.lax.sort((sperm, uid_ok), num_keys=1)
 
     # compact the first-occurrence rows to the front without scatter:
     # sort by (uid if first else BIG); carries the sorted-row position
@@ -90,7 +104,11 @@ def unique_coords(
     _, first_pos = jax.lax.sort((comp_key, pos), num_keys=1)
     take = first_pos[:capacity]  # position (in sorted order) of voxel u
 
-    coords_sorted = coords.astype(jnp.int32)[sperm]
+    coords_sorted = (
+        coords.astype(jnp.int32)
+        if assume_sorted
+        else coords.astype(jnp.int32)[sperm]
+    )
     out_coords = coords_sorted[take]
     in_cap = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(
         num_unique, capacity

@@ -82,6 +82,9 @@ def spdownsample(
     down = jnp.sign(xyz) * (jnp.abs(xyz) // ss) * ss
     new_coords = jnp.concatenate([down, coords[:, 3:4]], axis=1)
     valid = jnp.arange(coords.shape[0], dtype=jnp.int32) < num
+    # NOTE: parent keys are NOT sorted even though the level is — floor
+    # division is monotone per component but two x columns collapsing into
+    # one parent x interleave their y runs — so the full sort stays.
     if return_inverse:
         out_coords, num_out, inverse, counts, perm = unique_coords(
             new_coords, valid, bounds, capacity, return_perm=True

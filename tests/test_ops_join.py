@@ -249,3 +249,28 @@ def test_grouped_k3_rulebook_matches_dense_build(seed, stride):
     )
     got = np.asarray(build_rulebook_k3(ucoords, num, stride, bounds))
     np.testing.assert_array_equal(got, want)
+
+
+def test_unique_coords_assume_sorted_matches_general():
+    """assume_sorted=True (used when a host loader pre-sorts points by
+    voxel key) must agree with the general path on key-sorted input."""
+    rng = np.random.default_rng(11)
+    n, cap = 500, 1024
+    coords = random_coords(rng, n, lo=-15, hi=15)
+    valid = np.ones(n, bool)
+    bounds = compute_bounds(jnp.asarray(coords), jnp.asarray(valid))
+    hi, lo = map(
+        np.asarray, pack_keys(jnp.asarray(coords), bounds, jnp.asarray(valid))
+    )
+    order = np.lexsort((lo, hi))
+    coords = coords[order]
+
+    a = unique_coords(jnp.asarray(coords), jnp.asarray(valid), bounds, cap,
+                      return_perm=True)
+    b = unique_coords(jnp.asarray(coords), jnp.asarray(valid), bounds, cap,
+                      return_perm=True, assume_sorted=True)
+    for name, x, y in zip(("coords", "num", "inverse", "counts", "perm"),
+                          a, b):
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y), err_msg=name
+        )
