@@ -22,6 +22,9 @@ import numpy as np
 
 BASELINE_SCANS_PER_SEC = 50.0  # BASELINE.json north_star
 BATCH_SCANS = int(os.environ.get("TASEG_BENCH_BATCH", "1"))
+# smoke knobs (CPU dry runs of the bench itself); chip runs use defaults
+N_POINTS = int(os.environ.get("TASEG_BENCH_POINTS", "120000"))
+N_ITER = int(os.environ.get("TASEG_BENCH_ITERS", "20"))
 
 
 def _time(fn, *args, n=20):
@@ -87,12 +90,13 @@ def main():
     rng = np.random.default_rng(0)
     samples = []
     for _ in range(BATCH_SCANS):
-        pts, labels = synthetic_scan(rng, 120_000)
+        pts, labels = synthetic_scan(rng, N_POINTS)
         ring = np.zeros((len(pts), 1), np.float32)
         samples.append(
             pipe({"xyzret": np.concatenate([pts, ring], 1), "labels": labels})
         )
-    cap = 131072 * BATCH_SCANS
+    # point capacity: same ~9% headroom ratio as the standard 120k -> 131072
+    cap = (N_POINTS * 131072 // 120000 + 255) // 256 * 256 * BATCH_SCANS
     arrays = collate_shard(samples, cap)
 
     caps = UNetCapacities.for_points(cap)
@@ -150,7 +154,7 @@ def main():
         topo = build_unet_topology(coords, num, caps, devox_pairs=False)
         return model.apply(params, pts, topo, False)
 
-    n_iter = 20
+    n_iter = N_ITER
     dt = _time(fwd, params, coords, feats, num, n=n_iter)
     scans_per_sec = BATCH_SCANS / dt
 
@@ -203,6 +207,41 @@ def main():
         conv_flops += 2 * nnz[(lvl, table)] * c_in * c_out
     conv_tflops = conv_flops / 1e12
 
+    # ---- gather roofline probe: row-gather rate at conv-like row widths
+    # (v5e gathers are ROW-bound ~610M rows/s for rows <= 192 B), plus the
+    # gather rows the conv stack actually issues under the current TGF
+    # routing — together with the MXU probe this bounds the apply time ----
+    import jax.numpy as _jnp
+    from taseg_tpu.models import layers as _layers
+
+    src = _jnp.ones((262144, 32), _jnp.bfloat16)
+    g_idx = _jnp.asarray(
+        np.random.default_rng(1).integers(0, 262144, 1048576, np.int32)
+    )
+
+    @jax.jit
+    def gprobe(src, idx):
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+        )
+        return jax.lax.gather(
+            src, idx[:, None], dn, slice_sizes=(1, src.shape[1]),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+
+    t_g = _time(gprobe, src, g_idx, n=10)
+    gather_rows_per_s = 1048576 / t_g
+
+    conv_gather_rows = 0
+    level_v = {l: int(np.asarray(lt.num)) for l, lt in enumerate(topo.levels)}
+    for lvl, table, c_in, c_out in _conv_inventory(cr, planes, num_layer):
+        if table == "k3":
+            per_v = 9 if c_in <= _layers.TGF_MAX_CIN else 27
+            conv_gather_rows += per_v * level_v[lvl]
+        elif table in ("down", "up"):
+            # one fine-row gather either direction (ops.strided_conv)
+            conv_gather_rows += level_v[lvl - 1]
+
     # ---- MXU roofline probe: chained 2048x512 @ 512x512 bf16 matmuls ------
     a = jnp.ones((2048, 512), jnp.bfloat16)
     w = jnp.ones((512, 512), jnp.bfloat16)
@@ -219,6 +258,11 @@ def main():
     probe_tfs = 200 * 2 * 2048 * 512 * 512 / t_probe / 1e12
 
     achieved_tfs = conv_tflops / t_apply
+    # additive lower bound on apply: conv gathers at the probed row rate
+    # plus conv FLOPs at the probed MXU rate (ignores BN/head/devox)
+    floor_ms = (
+        conv_gather_rows / gather_rows_per_s + conv_tflops / probe_tfs
+    ) * 1e3
     print(
         json.dumps(
             {
@@ -234,6 +278,13 @@ def main():
                     "conv_achieved_tfs": round(achieved_tfs, 2),
                     "mxu_probe_tfs": round(probe_tfs, 1),
                     "conv_mfu_vs_probe": round(achieved_tfs / probe_tfs, 3),
+                    "gather_probe_mrows_per_s": round(
+                        gather_rows_per_s / 1e6, 1
+                    ),
+                    "conv_gather_mrows_per_scan": round(
+                        conv_gather_rows / 1e6 / BATCH_SCANS, 2
+                    ),
+                    "conv_roofline_floor_ms": round(floor_ms, 2),
                     **(
                         {"topo_detail": topo_detail} if topo_detail else {}
                     ),

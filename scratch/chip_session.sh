@@ -14,5 +14,7 @@ TASEG_BENCH_BATCH=2 timeout 2400 python bench.py > $LOG/bench_b2.log 2>&1
 echo "bench_b2 rc=$?" >> $LOG/session.log
 TASEG_NO_GROUPED_RB=1 timeout 2400 python bench.py > $LOG/bench_nogrouped.log 2>&1
 echo "bench_nogrouped rc=$?" >> $LOG/session.log
+TASEG_TGF_MAX_CIN=512 timeout 2400 python bench.py > $LOG/bench_tgf512.log 2>&1
+echo "bench_tgf512 rc=$?" >> $LOG/session.log
 echo "end $(date)" >> $LOG/session.log
 touch $LOG/DONE
