@@ -10,6 +10,10 @@ headline scans/s the JSON carries the proof obligations of the perf claim
 actually implied by the rulebooks, the achieved conv TF/s, and an MXU
 roofline probe measured on the same device seconds earlier — so the
 "fraction of speed-of-light" figure is self-contained and re-checkable.
+
+TASEG_BENCH_TRAIN=1 benchmarks the full jitted train step instead
+(topology + fwd + loss + bwd + update) — the d/f/b-meter analogue of
+reference train.py:418-435.
 """
 
 from __future__ import annotations
@@ -145,6 +149,60 @@ def main():
             False,
         )
     )(coords, feats, num)
+
+    if os.environ.get("TASEG_BENCH_TRAIN"):
+        # training throughput: the REAL jitted SPMD train step (topology
+        # build + fwd + loss + bwd + pmean + sgd update) on one chip —
+        # the d/f/b-meter analogue of reference train.py:418-435
+        import optax
+
+        from taseg_tpu.loss import Losses
+        from taseg_tpu.parallel import (
+            Batch, TrainState, make_mesh, make_train_step,
+        )
+
+        mesh = make_mesh(jax.devices()[:1])
+        crit = Losses(["CELoss"], [1.0], ignore_index=0)
+        tx = optax.sgd(0.02, momentum=0.9, nesterov=True)
+        step = make_train_step(model, crit, tx, caps, mesh)
+        state = TrainState(
+            params=params["params"],
+            batch_stats=params.get("batch_stats", {}),
+            opt_state=tx.init(params["params"]),
+            step=jnp.int32(0),
+            loss_state=None,
+        )
+        batch = Batch(
+            point_coords=coords[None],
+            point_feats=feats[None],
+            labels=jnp.asarray(arrays["labels"])[None],
+            num_points=num[None, None],
+        )
+        rng = jax.random.PRNGKey(0)
+        state, _ = step(state, batch, rng)
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for _ in range(N_ITER):
+            state, metrics = step(state, batch, rng)
+        jax.block_until_ready(state.params)
+        dt = (time.perf_counter() - t0) / N_ITER
+        print(
+            json.dumps(
+                {
+                    "metric": "minkunet_cr10_train_scans_per_sec_per_chip",
+                    "value": round(BATCH_SCANS / dt, 3),
+                    "unit": "scans/s",
+                    "vs_baseline": round(
+                        BATCH_SCANS / dt / BASELINE_SCANS_PER_SEC, 3
+                    ),
+                    "breakdown": {
+                        "train_step_ms": round(dt * 1e3, 2),
+                        "loss": round(float(metrics["loss"]), 4),
+                    },
+                }
+            )
+        )
+        return
 
     @jax.jit
     def fwd(params, coords, feats, num):
