@@ -31,20 +31,41 @@ N_POINTS = int(os.environ.get("TASEG_BENCH_POINTS", "120000"))
 N_ITER = int(os.environ.get("TASEG_BENCH_ITERS", "20"))
 
 
+def _drain(out) -> float:
+    """Force completion of everything enqueued before `out`.
+
+    On the axon tunnel `block_until_ready` can return WITHOUT draining the
+    execution queue (measured 2026-08-18: a chained-matmul probe "timed"
+    at 19x MXU peak under block_until_ready; sane under a host fetch), and
+    large-buffer D2H runs ~0.1 MB/s — so the drain fetches ONE f32 derived
+    from the first output leaf via a jitted slice (execution is in-order)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _first_elem
+    if _first_elem is None:
+        _first_elem = jax.jit(
+            lambda x: jax.lax.reshape(x, (x.size,))[:1].astype(jnp.float32)
+        )
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(_first_elem(leaf))[0])
+
+
+_first_elem = None
+
+
 def _time(fn, *args, n=20):
     out = fn(*args)
-    jax_block(out)
+    _drain(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax_block(out)
+    _drain(out)
     return (time.perf_counter() - t0) / n
 
 
 def jax_block(out):
-    import jax
-
-    jax.block_until_ready(out)
+    _drain(out)
 
 
 def _conv_inventory(cr, planes, num_layer, in_dim=4):
@@ -119,7 +140,8 @@ def main():
         lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
     )
     try:
-        topo = jax.block_until_ready(topo_fn(coords, num))
+        topo = topo_fn(coords, num)
+        _drain(topo)
     except Exception as e:  # pragma: no cover — backend-specific safety
         # fall back to the pure-XLA join path if the Pallas join-scan
         # kernel cannot compile/run on this backend revision
@@ -180,11 +202,11 @@ def main():
         )
         rng = jax.random.PRNGKey(0)
         state, _ = step(state, batch, rng)
-        jax.block_until_ready(state.params)
+        _drain(state.params)
         t0 = time.perf_counter()
         for _ in range(N_ITER):
             state, metrics = step(state, batch, rng)
-        jax.block_until_ready(state.params)
+        _drain(state.params)
         dt = (time.perf_counter() - t0) / N_ITER
         print(
             json.dumps(

@@ -47,7 +47,12 @@ params = jax.jit(
 )(coords, feats, num)
 
 fns = {}
-for thr in (0, 64, 96, 128, 512):
+import os as _os
+
+THRS = tuple(
+    int(x) for x in _os.environ.get("TGF_THRS", "0,64,96,128,512").split(",")
+)
+for thr in THRS:
     L.TGF_MAX_CIN = thr
 
     @jax.jit
@@ -56,8 +61,12 @@ for thr in (0, 64, 96, 128, 512):
         topo = build_unet_topology(coords, num, caps, devox_pairs=False)
         return model.apply(params, pts, topo, False)
 
+    from tutil import drain
+
+    t0 = time.perf_counter()
     o = fwd(params, coords, feats, num)
-    jax.block_until_ready(o)
+    drain(o)
+    print(f"compiled thr={thr} in {time.perf_counter() - t0:.1f}s", flush=True)
     fns[thr] = fwd
 
 res = {t: [] for t in fns}
@@ -66,7 +75,7 @@ for rep in range(3):
         t0 = time.perf_counter()
         for _ in range(10):
             o = fn(params, coords, feats, num)
-        jax.block_until_ready(o)
+        drain(o)
         res[thr].append((time.perf_counter() - t0) / 10)
 for thr, ts in res.items():
     ms = [t * 1e3 for t in ts]

@@ -38,6 +38,7 @@ to the 27 per-offset gathers (training-only cost).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -144,20 +145,30 @@ def _take_rows(s: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+# Below this static per-level row count the 9 groups' [E; FL; FR] stacks
+# are fused into one (27V, C_out) array served by ONE gather — the
+# per-launch overhead (~1 ms) dominates at the small coarse levels.  At
+# the big levels the 27V-row materialization costs more HBM writes than
+# the 8 saved launches, so the per-group gather-accumulate wins there
+# (measured: merged-everywhere regressed apply 88.7 -> 168.7 ms).
+TGF_MERGE_MAX_V = int(os.environ.get("TASEG_TGF_MERGE_MAX_V", "16384"))
+
+
 def _tgf_fwd_impl(feats, weight, tab: TgfTables):
     """Per group: ONE (C_in, 3*C_out) matmul (the three dy weight slices
     share the input, and a 3x-wider N dim keeps the 128-lane MXU fed at
-    narrow channel counts), then the 9 groups' [E; FL; FR] stacks are
-    fused into a single (27V, C_out) array served by ONE gather — 9V rows
-    in one launch instead of nine (the per-launch overhead dominates at
-    the small coarse levels)."""
+    narrow channel counts), then one gather per group through the
+    [E; FL; FR] stack — or, at small static V, a single merged gather
+    over all 9 stacks (see TGF_MERGE_MAX_V)."""
     w = weight.astype(feats.dtype)
     u1 = tab.u1[:, None].astype(feats.dtype)
     d1 = tab.d1[:, None].astype(feats.dtype)
     u2 = tab.u2[:, None].astype(feats.dtype)
     v = tab.idx.shape[1]
     c_out = weight.shape[2]
+    merged = v <= TGF_MERGE_MAX_V
     parts = []
+    out = None
     for g in range(9):
         km, kc, kp = tab.cols[g]
         wg = jnp.concatenate([w[km], w[kc], w[kp]], axis=1)  # (C_in, 3C)
@@ -170,7 +181,15 @@ def _tgf_fwd_impl(feats, weight, tab: TgfTables):
         zp_up = _up(zp)
         e = zc + d1 * _down(zm) + u1 * zp_up
         fl = zm + u2 * zp_up
-        parts.append(jnp.concatenate([e, fl, zp], 0))  # (3V, C_out)
+        s_g = jnp.concatenate([e, fl, zp], 0)  # (3V, C_out)
+        if merged:
+            parts.append(s_g)
+        else:
+            rows = _take_rows(s_g, tab.idx[g])
+            c = jnp.where(tab.mask[g][:, None], rows, 0)
+            out = c if out is None else out + c
+    if not merged:
+        return out
     s_all = jnp.concatenate(parts, 0)  # (27V, C_out)
     idx_all = (
         tab.idx + (jnp.arange(9, dtype=jnp.int32) * (3 * v))[:, None]

@@ -328,6 +328,44 @@ def test_tgf_conv_matches_reference_conv():
         )
 
 
+def test_tgf_conv_unmerged_gather_path(monkeypatch):
+    """TGF with TGF_MERGE_MAX_V=0 takes the per-group gather-accumulate
+    branch (used at the large levels, where the merged 27V-row stack costs
+    more HBM writes than the saved launches) — parity incl. gradients."""
+    from taseg_tpu.ops import tgf as tgf_mod
+
+    monkeypatch.setattr(tgf_mod, "TGF_MERGE_MAX_V", 0)
+    rng = np.random.default_rng(7)
+    cin, cout, cap = 8, 16, 512
+    coords, feats, ucoords, num, feats_sorted, bounds = make_grid(
+        rng, n=250, span=10, cap=cap, cin=cin
+    )
+    offs = kernel_offsets(3, stride=1)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+    rb = build_rulebook(ucoords, num, ucoords, num, offs, bounds)
+    tab = tgf_mod.build_tgf_tables(rb, ucoords, num, 1, bounds)
+    tab_b = tgf_mod.build_tgf_tables(
+        flip_rulebook(rb), ucoords, num, 1, bounds, flipped=True
+    )
+    f0 = jnp.asarray(feats_sorted)
+    ref = sparse_conv_apply(f0, w, rb, flip_rulebook(rb))
+    out = tgf_mod.tgf_conv_apply(f0, w, tab, tab_b, rb)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+    def loss_tgf(w, f):
+        return jnp.sum(tgf_mod.tgf_conv_apply(f, w, tab, tab_b, rb) ** 2)
+
+    def loss_ref(w, f):
+        return jnp.sum(sparse_conv_apply(f, w, rb, flip_rulebook(rb)) ** 2)
+
+    gw_r, gf_r = jax.grad(loss_ref, argnums=(0, 1))(w, f0)
+    gw_t, gf_t = jax.grad(loss_tgf, argnums=(0, 1))(w, f0)
+    np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_r), rtol=1e-4, atol=1e-4)
+
+
 def test_tgf_conv_strided_level_keys():
     """At stride-s levels the y-neighbor key delta is s; verify TGF parity
     on a coarsened coordinate set (stride 2)."""
