@@ -9,6 +9,7 @@ and A/B alternative formulations of the (P, 8) corner lookup:
      axis-1 gather at all)
 """
 
+import os
 import sys
 import time
 
@@ -27,7 +28,6 @@ from scratch.tutil import timed  # scalar-fetch drain timer
 
 pipe = VoxelPipeline(voxel_size=0.05, training=False)
 rng = np.random.default_rng(0)
-import os
 N = int(os.environ.get("AN_POINTS", "120000"))
 pts, labels = synthetic_scan(rng, N)
 ring = np.zeros((len(pts), 1), np.float32)
@@ -139,3 +139,33 @@ print(
 for name, f in [("a take_along", ja), ("b flat", jb), ("c select_n", jc)]:
     t = timed(lambda: f(rb, anc, p3, lc), n=20)
     print(f"corners {name}: {t * 1e3:.3f} ms", flush=True)
+
+
+def corners_d(rb, anc, p3, lvl_coords):
+    """Pre-shuffle rb into (V, 64): for each of the 8 delta0 patterns the
+    8 corner columns are STATIC rows of rb (27, V) -> stack 64 rows,
+    transpose once, then ONE P-row gather + select_n of static slices."""
+    pf = (jnp.floor(p3 / s4) * s4).astype(jnp.int32)
+    t = lvl_coords[jnp.clip(anc, 0), :3]
+    delta0 = (pf - t) // jnp.int32(s4)  # {-1, 0}
+    pat = (-delta0[:, 0]) * 4 + (-delta0[:, 1]) * 2 + (-delta0[:, 2])
+    rows = []
+    for m in range(8):
+        d0 = np.array([-((m >> 2) & 1), -((m >> 1) & 1), -(m & 1)])
+        o = d0[None, :] + np.asarray(j8)  # (8, 3)
+        rows.extend(
+            int((x[0] + 1) + 3 * (x[1] + 1) + 9 * (x[2] + 1)) for x in o
+        )
+    combined = rb[np.asarray(rows)].T  # (V, 64)
+    block = combined[jnp.clip(anc, 0)]  # (P, 64) one row-gather
+    cases = [block[:, 8 * m : 8 * m + 8] for m in range(8)]
+    return jax.lax.select_n(
+        jnp.clip(pat, 0, 7)[:, None] * jnp.ones((1, 8), jnp.int32), *cases
+    )
+
+
+jd = jax.jit(corners_d)
+rd = np.asarray(jd(rb, anc, p3, lc))
+print("d == a:", np.array_equal(ra[ok], rd[ok]))
+t = timed(lambda: jd(rb, anc, p3, lc), n=20)
+print(f"corners d combined: {t * 1e3:.3f} ms", flush=True)

@@ -26,7 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from taseg_tpu.models import UNetCapacities, build_unet_topology
 from taseg_tpu.data.synthetic import synthetic_scan
 from taseg_tpu.data.voxel_dataset import VoxelPipeline, collate_shard
-from taseg_tpu.ops.sparse_conv import sparse_conv_apply, _gather_rows_k
+from taseg_tpu.ops.sparse_conv import sparse_conv_apply
 from taseg_tpu.ops import flip_rulebook
 from taseg_tpu.ops.tgf import build_tgf_tables, _tgf_fwd_impl
 from scratch.tutil import timed
@@ -58,7 +58,6 @@ def build_tgfw(rb):
     v = rb.shape[1]
     sts, ods = [], []
     for g in range(9):
-        km, kc, kp = g % 3 + 9 * (g // 3), None, None
         dz, dx = divmod(g, 3)
         km = dz * 9 + dx
         kc, kp = km + 3, km + 6
@@ -86,7 +85,6 @@ def tgfw_apply(feats, weight, st, od):
     )
     w = weight.astype(feats.dtype)
     out = None
-    zero = jnp.zeros_like(feats[:1])
     for g in range(9):
         dz, dx = divmod(g, 3)
         km = dz * 9 + dx
@@ -124,6 +122,17 @@ for lvl, c_in, c_out in [(0, 128, 96), (1, 128, 96), (0, 32, 32), (2, 64, 64)]:
 
     rb = lt.rb_k3
     st, od = jax.jit(build_tgfw)(rb)
+    # consecutive-row invariant (ADVICE r3): a present neighbor with
+    # od > 2 would be silently zeroed by tgfw_apply's pick(); fail loudly
+    # here instead of relying on the numeric A/B below.
+    od_h, rb_h = np.asarray(od), np.asarray(rb)
+    present = np.stack(
+        [rb_h[dz * 9 + dx + 3 * d] >= 0
+         for (dz, dx) in [divmod(g, 3) for g in range(9)] for d in range(3)]
+    ).reshape(9, 3, -1)
+    assert int(np.where(present, od_h, 0).max()) <= 2, (
+        "dy-triple row span > 3: tgfw consecutive-row assumption violated"
+    )
     f27 = jax.jit(lambda f, w: sparse_conv_apply(f, w, rb, flip_rulebook(rb)))
     ftw = jax.jit(lambda f, w: tgfw_apply(f, w, st, od))
     o27 = np.asarray(f27(feats, weight), np.float32)

@@ -25,6 +25,7 @@ from pathlib import Path
 
 import numpy as np
 
+from ...utils import storage
 from .labels import CLASS_NAMES, remap_labels
 
 
@@ -95,8 +96,9 @@ class NuscenesReader:
             info_paths = [f"nuscenes_infos_{split}.pkl"]
         self.infos = []
         for ip in info_paths:
-            with open(self.root_path / ip, "rb") as f:
-                self.infos.extend(pickle.load(f)["infos"])
+            self.infos.extend(
+                storage.load_pkl(self.root_path / ip)["infos"]
+            )
         self._all_idx = np.arange(len(self.infos))
         self.samples_per_epoch = (
             samples_per_epoch
@@ -126,8 +128,8 @@ class NuscenesReader:
         return self.root_path / p
 
     def load_points(self, info: dict) -> np.ndarray:
-        return np.fromfile(
-            self._rel(info["lidar_path"]), dtype=np.float32
+        return storage.load_bin(
+            self._rel(info["lidar_path"]), "float32"
         ).reshape(-1, 5)
 
     def load_labels(self, info: dict, n: int) -> np.ndarray:
@@ -136,9 +138,9 @@ class NuscenesReader:
         else:
             token = info.get("lidar_token", info.get("token"))
             p = self.root_path / "lidarseg" / "v1.0-trainval" / f"{token}_lidarseg.bin"
-        if not Path(p).exists():
+        if not storage.exists(p):
             return np.zeros(n, np.int32)  # test split: no labels
-        raw = np.fromfile(p, dtype=np.uint8)
+        raw = storage.load_bin(p, "uint8")
         return remap_labels(raw).astype(np.int32)
 
     def __getitem__(self, index: int) -> dict:
@@ -178,8 +180,7 @@ class NuscenesMsReader(NuscenesReader):
         sweep_info_path = (
             sweep_info_path or f"nuscenes_infos_{self.split}_sweep.pkl"
         )
-        with open(self.root_path / sweep_info_path, "rb") as f:
-            sweep = pickle.load(f)
+        sweep = storage.load_pkl(self.root_path / sweep_info_path)
         self.infos_sweep = sweep["infos_sweep"]
         self.global_indexes = sweep["global_indexes"]
         self.local_indexes = sweep["local_indexes"]
@@ -244,9 +245,9 @@ class NuscenesMsReader(NuscenesReader):
         if not self.pseudo_label_root:
             return np.zeros(n, np.int32)
         p = Path(self.pseudo_label_root) / f"{token}_lidarseg.bin"
-        if not p.exists():
+        if not storage.exists(p):
             return np.zeros(n, np.int32)
-        return np.fromfile(p, dtype=np.uint8).astype(np.int32)
+        return storage.load_bin(p, "uint8").astype(np.int32)
 
     def multiscan_fuse(self, index: int):
         gi = self.global_indexes[index]
@@ -255,15 +256,15 @@ class NuscenesMsReader(NuscenesReader):
         for order, delta in enumerate(self._select_sweeps(index)):
             info = self.infos_sweep[gi + delta]
             if "lidar_path" in info:
-                pts = np.fromfile(
-                    self._rel(info["lidar_path"]), dtype=np.float32
+                pts = storage.load_bin(
+                    self._rel(info["lidar_path"]), "float32"
                 ).reshape(-1, 5)
                 labels = self.load_labels(info, len(pts))
                 r, t = transform_between(info0, info)
                 pts[:, :3] = pts[:, :3] @ r + t
             else:
-                pts = np.fromfile(
-                    self._rel(info["data_path"]), dtype=np.float32
+                pts = storage.load_bin(
+                    self._rel(info["data_path"]), "float32"
                 ).reshape(-1, 5)
                 pts[:, :3] = pts[:, :3] @ np.asarray(
                     info["sensor2lidar_rotation"]

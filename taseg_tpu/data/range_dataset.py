@@ -61,11 +61,20 @@ def range_union(scan, label, mask, scan_b, label_b, mask_b):
     return out_s, out_l, out_m
 
 
-def range_mix(scan, label, mask, scan_b, label_b, mask_b, rows: int, cols: int,
-              rng: np.random.Generator):
-    """Swap alternating grid cells between scans (strip MixTeacher)."""
+def range_mix(scan, label, mask, scan_b, label_b, mask_b, rows: int,
+              cols: int):
+    """Swap alternating grid cells between scans (strip MixTeacher).
+
+    Returns BOTH mixed complements — (A-major, B-major) — like the
+    reference MixTeacher (`semantickitti_rv.py:368-380` hands back
+    img_aux1 AND img_aux2; the dataset then keeps one at random,
+    rv.py:170-175).  Each complement is an (scan, label, mask) triple.
+    """
     h, w = label.shape
-    out_s, out_l, out_m = scan.copy(), label.copy(), mask.copy()
+    a = (scan.copy(), label.copy(), mask.copy())
+    b = (scan_b.copy(), label_b.copy(), mask_b.copy())
+    src_a = (scan, label, mask)
+    src_b = (scan_b, label_b, mask_b)
     r_edges = np.linspace(0, h, rows + 1).astype(int)
     c_edges = np.linspace(0, w, cols + 1).astype(int)
     for i in range(rows):
@@ -73,10 +82,11 @@ def range_mix(scan, label, mask, scan_b, label_b, mask_b, rows: int, cols: int,
             if (i + j) % 2 == 1:
                 rs, re = r_edges[i], r_edges[i + 1]
                 cs, ce = c_edges[j], c_edges[j + 1]
-                out_s[rs:re, cs:ce] = scan_b[rs:re, cs:ce]
-                out_l[rs:re, cs:ce] = label_b[rs:re, cs:ce]
-                out_m[rs:re, cs:ce] = mask_b[rs:re, cs:ce]
-    return out_s, out_l, out_m
+                for out, src in zip(a, src_b):
+                    out[rs:re, cs:ce] = src[rs:re, cs:ce]
+                for out, src in zip(b, src_a):
+                    out[rs:re, cs:ce] = src[rs:re, cs:ce]
+    return a, b
 
 
 @dataclass
@@ -145,9 +155,13 @@ class RangeViewPipeline:
                     rows, cols = RANGE_MIX_GRIDS[
                         self.rng.integers(0, len(RANGE_MIX_GRIDS))
                     ]
-                    scan, label, mask = range_mix(
+                    mix_a, mix_b = range_mix(
                         scan, label, mask, scan_b, label_b, mask_b,
-                        rows, cols, self.rng,
+                        rows, cols,
+                    )
+                    # keep one complement at random (rv.py:170-175)
+                    scan, label, mask = (
+                        mix_a if self.rng.random() < 0.5 else mix_b
                     )
                 if self.if_paste and self.rng.random() < 0.5:
                     scan, label, mask = range_paste(

@@ -14,6 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
+from ...utils import storage
 from ..augment import lasermix, polarmix
 from .labels import CLASS_NAMES, remap_labels
 
@@ -126,7 +127,7 @@ class SemanticKittiReader:
             self.sample_idx = self._all_idx
 
     def load_scan(self, path: Path) -> tuple[np.ndarray, np.ndarray]:
-        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+        pts = storage.load_bin(path, "float32").reshape(-1, 4)
         if self.split == "test":
             labels = np.zeros(len(pts), np.int32)
         else:
@@ -140,7 +141,7 @@ class SemanticKittiReader:
                 label_path = Path(
                     str(path).replace("velodyne", "labels")[:-4] + ".label"
                 )
-            raw = np.fromfile(label_path, dtype=np.uint32)
+            raw = storage.load_bin(label_path, "uint32")
             labels = remap_labels(raw, multiscan=self.multiscan_labels).astype(
                 np.int32
             )

@@ -25,6 +25,7 @@ from pathlib import Path
 
 import numpy as np
 
+from ...utils import storage
 from .labels import remap_labels
 from .poses import parse_calibration
 from .reader_ms import MultiScanKittiReader
@@ -46,7 +47,7 @@ def _load_image(path: Path) -> np.ndarray:
         raise ImportError(
             "TIAF disk reader needs Pillow for camera images"
         ) from e
-    img = np.asarray(Image.open(path), np.float32)
+    img = np.asarray(storage.load_image(path), np.float32)
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)
     return img[..., :3] / 255.0
@@ -90,8 +91,8 @@ class TiafKittiReader(MultiScanKittiReader):
             p = (
                 Path(self.semantic_map_root) / seq / f"{frame:06d}.npy"
             )
-            if p.exists():
-                m = np.load(p).reshape(shape[0], shape[1])[
+            if storage.exists(p):
+                m = storage.load_npy(p).reshape(shape[0], shape[1])[
                     : self.image_height, : self.image_width
                 ]
                 out = np.zeros(
@@ -103,7 +104,7 @@ class TiafKittiReader(MultiScanKittiReader):
         scan_path = (
             self.root_path / seq / "velodyne" / f"{frame:06d}.bin"
         )
-        pts = np.fromfile(scan_path, dtype=np.float32).reshape(-1, 4)
+        pts = storage.load_bin(scan_path, "float32").reshape(-1, 4)
         labels = self._frame_labels(seq, frame, len(pts))
         keep, rowcol = project_to_image(
             pts, proj, img_w=shape[1], img_h=shape[0],
@@ -115,9 +116,9 @@ class TiafKittiReader(MultiScanKittiReader):
 
     def _frame_labels(self, seq: str, frame: int, n: int) -> np.ndarray:
         p = self.root_path / seq / "labels" / f"{frame:06d}.label"
-        if not p.exists():
+        if not storage.exists(p):
             return np.zeros(n, np.int32)
-        raw = np.fromfile(p, dtype=np.uint32)
+        raw = storage.load_bin(p, "uint32")
         return remap_labels(raw).astype(np.int32)
 
     def __getitem__(self, index: int) -> dict:

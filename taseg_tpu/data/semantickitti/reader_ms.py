@@ -23,6 +23,7 @@ from pathlib import Path
 
 import numpy as np
 
+from ...utils import storage
 from ..augment import lasermix, polarmix
 from .labels import remap_labels, train_to_raw
 from .poses import load_sequence_poses, warp_to_frame
@@ -73,14 +74,14 @@ class MultiScanKittiReader(SemanticKittiReader):
         """Raw-id class labels used only for the flexible-step keep mask."""
         if self.pseudo_mask == "gt":
             lbl = Path(str(scan_path).replace("velodyne", "labels")[:-4] + ".label")
-            return np.fromfile(lbl, dtype=np.uint32) & 0xFFFF
+            return storage.load_bin(lbl, "uint32") & 0xFFFF
         assert self.pseudo_label_root, (
             "PSEUDO_MASK mink_notta needs DATA.PSEUDO_LABEL_ROOT (predictions "
             "written by a prior single-frame run + tta_remap)"
         )
         seq, frame = self._seq_and_frame(scan_path)
         p = Path(self.pseudo_label_root) / seq / "predictions" / f"{frame:06d}.label"
-        return np.fromfile(p, dtype=np.uint32) & 0xFFFF
+        return storage.load_bin(p, "uint32") & 0xFFFF
 
     # ---------------- fusion ---------------------------------------------
     def multiscan_fuse(
@@ -105,12 +106,12 @@ class MultiScanKittiReader(SemanticKittiReader):
             if delta == 0 or nb < 0 or nb >= len(poses):
                 continue
             nb_path = scan_path.parent / f"{nb:06d}.bin"
-            if not nb_path.exists():
+            if not storage.exists(nb_path):
                 continue
-            pts = np.fromfile(nb_path, dtype=np.float32).reshape(-1, 4)
-            raw_lbl = np.fromfile(
+            pts = storage.load_bin(nb_path, "float32").reshape(-1, 4)
+            raw_lbl = storage.load_bin(
                 Path(str(nb_path).replace("velodyne", "labels")[:-4] + ".label"),
-                dtype=np.uint32,
+                "uint32",
             )
             if pseudo_override == "gt":
                 pseudo = raw_lbl & 0xFFFF
@@ -271,10 +272,10 @@ class SmsaKittiReader(MultiScanKittiReader):
         from .smsa import moving2static, static2moving
 
         path = self.scan_files[self.sample_idx[index]]
-        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
-        raw = np.fromfile(
+        pts = storage.load_bin(path, "float32").reshape(-1, 4)
+        raw = storage.load_bin(
             Path(str(path).replace("velodyne", "labels")[:-4] + ".label"),
-            dtype=np.uint32,
+            "uint32",
         )
         frame_raw = (raw & 0xFFFF).astype(np.int64)
         frame_inst = (raw >> 16).astype(np.int32)

@@ -17,6 +17,8 @@ from pathlib import Path
 
 import numpy as np
 
+from ...utils import storage
+
 WAYMO_CLASS_NAMES = [
     "undefined", "car", "truck", "bus", "other_vehicle", "motorcyclist",
     "bicyclist", "pedestrian", "sign", "traffic_light", "pole",
@@ -85,7 +87,7 @@ class WaymoReader:
 
     @staticmethod
     def _load_return(path: Path):
-        arr = np.load(path)
+        arr = storage.load_npy(path)
         xyz = arr[:, 3:6].astype(np.float32)
         inten_elong = arr[:, 1:3].astype(np.float32)
         labels = arr[:, -1].astype(np.int32)

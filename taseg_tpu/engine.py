@@ -106,6 +106,20 @@ def _allreduce_hist(hist: np.ndarray) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(hist)).sum(0)
 
 
+def _allreduce_mean_scalars(vals: tuple[float, ...]) -> tuple[float, ...]:
+    """Mean of host-side scalar meters across processes (reference
+    train.py:421-423 average-reduces the d/f/b step timers so every rank
+    logs the fleet-wide timing, not its own)."""
+    if jax.process_count() == 1:
+        return vals
+    from jax.experimental import multihost_utils
+
+    stacked = np.asarray(
+        multihost_utils.process_allgather(np.asarray(vals, np.float64))
+    )
+    return tuple(stacked.mean(0).tolist())
+
+
 class Trainer:
     def __init__(
         self,
@@ -641,12 +655,15 @@ class Trainer:
                 except (TypeError, ValueError):
                     pass
             if it % max(len(self.train_loader) // 4, 1) == 0:
+                d_avg, f_avg, b_avg = _allreduce_mean_scalars(
+                    (timer.d_time.avg, timer.f_time.avg, timer.b_time.avg)
+                )
                 self.logger.info(
                     f"epoch {epoch} it {it}/{len(self.train_loader)} "
                     f"loss {loss:.4f} "
-                    f"d_time {timer.d_time.avg:.3f}s "
-                    f"f_time {timer.f_time.avg:.3f}s "
-                    f"b_time {timer.b_time.avg:.3f}s"
+                    f"d_time {d_avg:.3f}s "
+                    f"f_time {f_avg:.3f}s "
+                    f"b_time {b_avg:.3f}s"
                 )
         return {"loss": float(np.mean(losses)) if losses else float("nan")}
 

@@ -1,6 +1,14 @@
 """Segmentor registry (reference `pcseg/model/segmentor/__init__.py:29-62`,
 minus the eval()-based construction — here it's an explicit dict)."""
 
+from .bev import (
+    GlobalAvgPool,
+    GlobalMaxPool,
+    ToBEVConvolution,
+    ToBEVHeightCompression,
+    ToBEVReduction,
+    ToDenseBEVConvolution,
+)
 from .fusion import SPVCNN
 from .fusion.rpvnet import RPVNet
 from .range2d import CENet, FIDNet, RangeNet, SalsaNext
@@ -97,8 +105,14 @@ def build_segmentor(model_cfgs, num_class: int):
 
 
 __all__ = [
+    "GlobalAvgPool",
+    "GlobalMaxPool",
     "MinkUNet",
     "SEGMENTORS",
+    "ToBEVConvolution",
+    "ToBEVHeightCompression",
+    "ToBEVReduction",
+    "ToDenseBEVConvolution",
     "UNetCapacities",
     "UNetTopology",
     "build_segmentor",

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -234,29 +235,52 @@ def build_unet_topology(
         anc_cache[l] = a
         return a
 
-    def _corner_cols(l: int, s: int):
-        """(P, 8) rulebook columns of the trilinear corners + the
-        (P,) ancestor rows; column = (o+1)x-fastest enumeration of the
-        per-axis corner offset o = delta0 + j, delta0 = (floor - trunc)
-        ancestor mismatch in {-1, 0}."""
+    corner_cache: dict = {}
+
+    def _corner_block(l: int, s: int):
+        """(P,) ancestor rows, (P,) delta0 pattern id in [0, 8), and the
+        ancestor's (P, 27) rulebook row.  delta0 = (floor - trunc)
+        ancestor mismatch per axis, each component in {-1, 0} — so only 8
+        column patterns exist, which lets the corner lookups below be
+        STATIC column slices selected by `lax.select_n` instead of a
+        dynamic axis-1 gather (measured 2.4x on chip: 14.8 -> 6.2 ms per
+        devox stride, scratch/an_devox2.py)."""
+        if l in corner_cache:
+            return corner_cache[l]
         anc = _ancestor(l)
         p3 = point_coords[:, :3].astype(jnp.float32)
         pf = (jnp.floor(p3 / s) * s).astype(jnp.int32)
         t = levels[l].coords[jnp.clip(anc, 0), :3]
         delta0 = (pf - t) // jnp.int32(s)  # {-1, 0} per axis
-        j = jnp.asarray(
-            [[(k >> 2) & 1, (k >> 1) & 1, k & 1] for k in range(8)],
-            jnp.int32,
-        )  # kernel_offsets(2) enumeration: k = 4*jx + 2*jy + jz
-        o = delta0[:, None, :] + j[None, :, :]  # (P, 8, 3) in {-1, 0, 1}
-        cols = (o[..., 0] + 1) + 3 * (o[..., 1] + 1) + 9 * (o[..., 2] + 1)
-        return anc, cols
+        pat = (-delta0[:, 0]) * 4 + (-delta0[:, 1]) * 2 + (-delta0[:, 2])
+        pat = jnp.clip(pat, 0, 7)  # garbage rows (anc<0) masked later
+        block = levels[l].rb_k3.T[jnp.clip(anc, 0)]  # (P, 27)
+        corner_cache[l] = (anc, pat, block)
+        return corner_cache[l]
+
+    def _pattern_cols(m: int, corners: int):
+        """Rulebook columns of the first `corners` trilinear corners under
+        delta0 pattern m; corner k = 4*jx + 2*jy + jz (kernel_offsets(2)
+        enumeration), column = x-fastest (o+1) with o = delta0 + j."""
+        d0 = (-((m >> 2) & 1), -((m >> 1) & 1), -(m & 1))
+        return [
+            (d0[0] + ((k >> 2) & 1) + 1)
+            + 3 * (d0[1] + ((k >> 1) & 1) + 1)
+            + 9 * (d0[2] + (k & 1) + 1)
+            for k in range(corners)
+        ]
+
+    def _corner_select(l: int, s: int, corners: int) -> jnp.ndarray:
+        anc, pat, block = _corner_block(l, s)
+        cases = [
+            block[:, _pattern_cols(m, corners)] for m in range(8)
+        ]
+        sel = pat[:, None] * jnp.ones((1, corners), jnp.int32)
+        return jax.lax.select_n(sel, *cases)
 
     def _corner_idx(l: int, s: int) -> jnp.ndarray:
-        anc, cols = _corner_cols(l, s)
-        rbt = levels[l].rb_k3.T  # (V, 27)
-        block = rbt[jnp.clip(anc, 0)]  # (P, 27)
-        idx = jnp.take_along_axis(block, cols, axis=1)  # (P, 8)
+        anc, _, _ = _corner_block(l, s)
+        idx = _corner_select(l, s, 8)  # (P, 8)
         ok = (anc >= 0) & valid
         return jnp.where(ok[:, None], idx, -1).T  # (8, P)
 
@@ -283,9 +307,8 @@ def build_unet_topology(
             continue
         l = s.bit_length() - 1
         # the containing (floor) voxel is corner j=(0,0,0)
-        anc, cols = _corner_cols(l, s)
-        block = levels[l].rb_k3.T[jnp.clip(anc, 0)]
-        inv_s = jnp.take_along_axis(block, cols[:, :1], axis=1)[:, 0]
+        anc, _, _ = _corner_block(l, s)
+        inv_s = _corner_select(l, s, 1)[:, 0]
         inv_s = jnp.where((anc >= 0) & valid, inv_s, -1)
         point_vox[s] = (
             inv_s, build_segment_tables(inv_s, levels[l].coords.shape[0])

@@ -7,6 +7,14 @@ dense-rulebook gather + batched MXU matmul with scatter-free custom VJPs,
 atomic voxelize/devoxelize -> sorted prefix-sum segment reductions.
 """
 
+from .bev import (
+    bev_height_compression,
+    bev_reduction,
+    bev_sparse_conv,
+    global_avg_pool,
+    global_max_pool,
+    to_dense_bev,
+)
 from .coords import GridBounds, compute_bounds, pack_keys
 from .join import join_keys, lex_search, query_coords, unique_coords
 from .point_range import (
@@ -52,6 +60,9 @@ __all__ = [
     "SegmentTables",
     "SparseGrid",
     "StridedTables",
+    "bev_height_compression",
+    "bev_reduction",
+    "bev_sparse_conv",
     "build_reverse_rulebook",
     "build_rulebook",
     "build_rulebook_k3",
@@ -61,6 +72,8 @@ __all__ = [
     "devoxelize",
     "downsample_conv_apply",
     "flip_rulebook",
+    "global_avg_pool",
+    "global_max_pool",
     "join_keys",
     "kernel_offsets",
     "lex_search",
@@ -78,6 +91,7 @@ __all__ = [
     "sparse_matmul",
     "sparse_quantize",
     "spdownsample",
+    "to_dense_bev",
     "trilinear_table",
     "unique_coords",
     "upsample_conv_apply",

@@ -67,8 +67,23 @@ class PetrelBackend(LocalBackend):
 
     def load_bin(self, path, dtype="float32"):  # pragma: no cover
         if str(path).startswith("s3://"):
-            return np.frombuffer(self.load_bytes(path), dtype=np.dtype(dtype))
+            # .copy(): np.fromfile parity — callers may mutate in place
+            return np.frombuffer(
+                self.load_bytes(path), dtype=np.dtype(dtype)
+            ).copy()
         return super().load_bin(path, dtype)
+
+    def load_npy(self, path):  # pragma: no cover
+        if str(path).startswith("s3://"):
+            import io
+
+            return np.load(io.BytesIO(self.load_bytes(path)))
+        return super().load_npy(path)
+
+    def load_pkl(self, path):  # pragma: no cover
+        if str(path).startswith("s3://"):
+            return pickle.loads(self.load_bytes(path))
+        return super().load_pkl(path)
 
     def save_bytes(self, path, data: bytes):  # pragma: no cover
         if str(path).startswith("s3://"):
@@ -76,8 +91,73 @@ class PetrelBackend(LocalBackend):
             return
         super().save_bytes(path, data)
 
+    def save_bin(self, path, arr: np.ndarray):  # pragma: no cover
+        if str(path).startswith("s3://"):
+            self.save_bytes(path, np.asarray(arr).tobytes())
+            return
+        super().save_bin(path, arr)
+
+    def exists(self, path) -> bool:  # pragma: no cover
+        if str(path).startswith("s3://"):
+            return bool(self._client.contains(str(path)))
+        return super().exists(path)
+
+
+_LOCAL = LocalBackend()
+_PETREL: PetrelBackend | None = None
+
 
 def get_backend(path_or_scheme) -> LocalBackend:
+    """Backend for a path: s3:// routes to a (cached) Petrel client, all
+    else to the local filesystem (reference `ceph.py:52-66` dispatches the
+    same way on its `ceph_read` flags)."""
     if str(path_or_scheme).startswith("s3://"):
-        return PetrelBackend()
-    return LocalBackend()
+        global _PETREL
+        if _PETREL is None:
+            _PETREL = PetrelBackend()
+        return _PETREL
+    return _LOCAL
+
+
+# Module-level convenience wrappers — the data readers and tools call
+# these instead of np.fromfile/np.load/open so every data path is
+# remote-storage capable (reference threads its Petrel client the same
+# way through every reader; ceph.py:68-200).
+def load_bytes(path) -> bytes:
+    return get_backend(path).load_bytes(path)
+
+
+def load_bin(path, dtype="float32") -> np.ndarray:
+    return get_backend(path).load_bin(path, dtype)
+
+
+def load_npy(path) -> np.ndarray:
+    return get_backend(path).load_npy(path)
+
+
+def load_pkl(path):
+    return get_backend(path).load_pkl(path)
+
+
+def load_image(path):
+    """PIL image via the byte backend (TIAF camera frames)."""
+    import io
+
+    from PIL import Image
+
+    b = get_backend(path)
+    if isinstance(b, PetrelBackend) and str(path).startswith("s3://"):
+        return Image.open(io.BytesIO(b.load_bytes(path)))
+    return Image.open(path)
+
+
+def save_bytes(path, data: bytes):
+    get_backend(path).save_bytes(path, data)
+
+
+def save_bin(path, arr: np.ndarray):
+    get_backend(path).save_bin(path, arr)
+
+
+def exists(path) -> bool:
+    return get_backend(path).exists(path)

@@ -14,6 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
+from . import storage
 from ..data.semantickitti.labels import (
     LEARNING_MAP_LUT,
     train_to_raw,
@@ -22,7 +23,8 @@ from ..data.semantickitti.labels import (
 
 def prediction_path(save_root, seq: str, frame: int) -> Path:
     p = Path(save_root) / "sequences" / seq / "predictions"
-    p.mkdir(parents=True, exist_ok=True)
+    if not str(save_root).startswith("s3://"):
+        p.mkdir(parents=True, exist_ok=True)
     return p / f"{frame:06d}.label"
 
 
@@ -39,7 +41,7 @@ def save_predictions(
         train_to_raw(point_predict) if raw_ids
         else point_predict.astype(np.uint32)
     )
-    labels.astype(np.uint32).tofile(out)
+    storage.save_bin(out, labels.astype(np.uint32))
     return out
 
 
@@ -48,7 +50,7 @@ def save_logits(save_root, scan_path: str, logits: np.ndarray) -> Path:
     sp = Path(scan_path)
     out = prediction_path(save_root, sp.parent.parent.name, int(sp.stem))
     out = out.with_suffix(".bin")
-    logits.astype(np.float32).tofile(out)
+    storage.save_bin(out, logits.astype(np.float32))
     return out
 
 
@@ -60,7 +62,7 @@ def remap_label_files(
     'raw_to_train' prepares pseudo-mask directories for FSA training."""
     n = 0
     for f in sorted(Path(root).glob("sequences/*/predictions/*.label")):
-        data = np.fromfile(f, dtype=np.uint32)
+        data = storage.load_bin(f, "uint32")
         if direction == "train_to_raw":
             out = train_to_raw(data & 0xFFFF) | (data & 0xFFFF0000)
         elif direction == "raw_to_train":
@@ -70,7 +72,9 @@ def remap_label_files(
             out = sem | (data & 0xFFFF0000)
         else:
             raise ValueError(direction)
-        out.astype(np.uint32).tofile(f if inplace else f.with_suffix(".remap"))
+        storage.save_bin(
+            f if inplace else f.with_suffix(".remap"), out.astype(np.uint32)
+        )
         n += 1
     return n
 
@@ -94,7 +98,8 @@ def save_nuscenes_predictions(
     ids, one byte per point, label 0 (ignore) forbidden by the benchmark
     (reference train.py:508-528)."""
     out = Path(save_root) / "lidarseg" / "test"
-    out.mkdir(parents=True, exist_ok=True)
+    if not str(save_root).startswith("s3://"):
+        out.mkdir(parents=True, exist_ok=True)
     ids = np.asarray(train_ids).reshape(-1).astype(np.uint8)
     if (ids == 0).any():
         # the benchmark rejects ignore-label predictions; remap to the
@@ -103,7 +108,7 @@ def save_nuscenes_predictions(
         fill = np.uint8(np.bincount(nz).argmax()) if len(nz) else np.uint8(1)
         ids = np.where(ids == 0, fill, ids)
     path = out / f"{lidar_token}_lidarseg.bin"
-    ids.reshape(-1, 1).tofile(path)
+    storage.save_bin(path, ids.reshape(-1, 1))
     return path
 
 
@@ -120,4 +125,4 @@ def write_nuscenes_submission_json(save_root):
 
 def read_nuscenes_predictions(save_root, lidar_token: str) -> np.ndarray:
     p = Path(save_root) / "lidarseg" / "test" / f"{lidar_token}_lidarseg.bin"
-    return np.fromfile(p, dtype=np.uint8)
+    return storage.load_bin(p, "uint8")

@@ -104,7 +104,16 @@ loss = float(np.asarray(metrics["loss"]))
 print(f"LOSS {pid} {loss:.6f}", flush=True)
 
 ev = make_eval_step(model, caps, mesh, 20, return_logits=False)
-hist, _pred = ev(state.params, state.batch_stats, batch)
+hist, _pred, _level_nums = ev(state.params, state.batch_stats, batch)
 hist = np.asarray(hist, np.int64)  # psum-ed -> replicated
 print(f"HIST {pid} {int(hist.sum())}", flush=True)
+
+# d/f/b meter allreduce (reference train.py:421-423): feed each process a
+# DIFFERENT per-rank timing and check both log the cross-process mean
+from taseg_tpu.engine import _allreduce_mean_scalars  # noqa: E402
+
+d, f, b = _allreduce_mean_scalars(
+    (1.0 + pid, 10.0 + pid, 100.0 + pid)
+)
+print(f"TIMERS {pid} {d:.3f}/{f:.3f}/{b:.3f}", flush=True)
 print(f"OK {pid}", flush=True)

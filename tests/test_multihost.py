@@ -72,3 +72,12 @@ def test_two_process_cpu_cluster():
     hist0 = int(grab("HIST 0", outs[0]))
     hist1 = int(grab("HIST 1", outs[1]))
     assert hist0 == hist1 and hist0 > 0
+
+    # d/f/b meter allreduce: ranks fed (1,10,100)+pid must both report
+    # the cross-process mean (1.5/10.5/100.5)
+    # other libraries (Gloo) may interleave onto the same stdout line;
+    # compare only the meter token itself
+    t0 = grab("TIMERS 0", outs[0]).split()[0]
+    t1 = grab("TIMERS 1", outs[1]).split()[0]
+    want = "1.500/10.500/100.500"
+    assert t0.startswith(want) and t1.startswith(want), (t0, t1)

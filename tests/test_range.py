@@ -71,8 +71,18 @@ def test_range_augs():
     assert (l == 2).all()  # whole second image is a paste class
     s, l, m = range_union(scan, label, mask, scan_b, label_b, mask_b)
     assert (m > 0).all()
-    s, l, m = range_mix(scan, label, mask, scan_b, label_b, mask_b, 4, 1, rng)
-    assert (l[0:16] == label[0:16]).all() and (l[16:32] == 2).all()
+    # range_mix returns BOTH mixed complements (reference MixTeacher
+    # semantickitti_rv.py:368-380 hands back aux1 AND aux2)
+    (sa, la, ma), (sb, lb, mb) = range_mix(
+        scan, label, mask, scan_b, label_b, mask_b, 4, 1
+    )
+    assert (la[0:16] == label[0:16]).all() and (la[16:32] == 2).all()
+    assert (lb[0:16] == 2).all() and (lb[16:32] == label[16:32]).all()
+    # the two complements tile the pair exactly: A-cells + B-cells swap
+    np.testing.assert_array_equal(sa[32:48], scan[32:48])
+    np.testing.assert_array_equal(sb[32:48], scan_b[32:48])
+    np.testing.assert_array_equal(sa[48:64], scan_b[48:64])
+    np.testing.assert_array_equal(sb[48:64], scan[48:64])
 
 
 def test_salsanext_forward_and_loss():

@@ -29,8 +29,10 @@ COLORS = np.array(
 
 
 def load(scan_path, label_path):
-    pts = np.fromfile(scan_path, dtype=np.float32).reshape(-1, 4)
-    raw = np.fromfile(label_path, dtype=np.uint32) & 0xFFFF
+    from taseg_tpu.utils import storage
+
+    pts = storage.load_bin(scan_path, "float32").reshape(-1, 4)
+    raw = storage.load_bin(label_path, "uint32") & 0xFFFF
     from taseg_tpu.data.semantickitti.labels import remap_labels
 
     labels = remap_labels(raw) if raw.max() > 19 else raw.astype(np.int64)
