@@ -98,6 +98,25 @@ def _conv_inventory(cr, planes, num_layer, in_dim=4):
     return convs
 
 
+def _build_inputs(batch_scans: int):
+    """Collate `batch_scans` synthetic scans into one padded shard."""
+    from taseg_tpu.data.synthetic import synthetic_scan
+    from taseg_tpu.data.voxel_dataset import VoxelPipeline, collate_shard
+
+    pipe = VoxelPipeline(voxel_size=0.05, training=False)
+    rng = np.random.default_rng(0)
+    samples = []
+    for _ in range(batch_scans):
+        pts, labels = synthetic_scan(rng, N_POINTS)
+        ring = np.zeros((len(pts), 1), np.float32)
+        samples.append(
+            pipe({"xyzret": np.concatenate([pts, ring], 1), "labels": labels})
+        )
+    # point capacity: same ~9% headroom ratio as the standard 120k -> 131072
+    cap = (N_POINTS * 131072 // 120000 + 255) // 256 * 256 * batch_scans
+    return collate_shard(samples, cap), cap
+
+
 def main():
     import jax
 
@@ -107,22 +126,9 @@ def main():
 
     from taseg_tpu.models import MinkUNet, UNetCapacities, build_unet_topology
     from taseg_tpu.ops import PointSet
-    from taseg_tpu.data.synthetic import synthetic_scan
-    from taseg_tpu.data.voxel_dataset import VoxelPipeline, collate_shard
 
     # one shard holding BATCH_SCANS collated scans
-    pipe = VoxelPipeline(voxel_size=0.05, training=False)
-    rng = np.random.default_rng(0)
-    samples = []
-    for _ in range(BATCH_SCANS):
-        pts, labels = synthetic_scan(rng, N_POINTS)
-        ring = np.zeros((len(pts), 1), np.float32)
-        samples.append(
-            pipe({"xyzret": np.concatenate([pts, ring], 1), "labels": labels})
-        )
-    # point capacity: same ~9% headroom ratio as the standard 120k -> 131072
-    cap = (N_POINTS * 131072 // 120000 + 255) // 256 * 256 * BATCH_SCANS
-    arrays = collate_shard(samples, cap)
+    arrays, cap = _build_inputs(BATCH_SCANS)
 
     caps = UNetCapacities.for_points(cap)
     cr, planes, num_layer = 1.0, MinkUNet.planes, MinkUNet.num_layer
@@ -172,7 +178,7 @@ def main():
         )
     )(coords, feats, num)
 
-    if os.environ.get("TASEG_BENCH_TRAIN"):
+    def _time_train():
         # training throughput: the REAL jitted SPMD train step (topology
         # build + fwd + loss + bwd + pmean + sgd update) on one chip —
         # the d/f/b-meter analogue of reference train.py:418-435
@@ -208,6 +214,10 @@ def main():
             state, metrics = step(state, batch, rng)
         _drain(state.params)
         dt = (time.perf_counter() - t0) / N_ITER
+        return dt, float(metrics["loss"])
+
+    if os.environ.get("TASEG_BENCH_TRAIN"):
+        dt, loss = _time_train()
         print(
             json.dumps(
                 {
@@ -219,7 +229,7 @@ def main():
                     ),
                     "breakdown": {
                         "train_step_ms": round(dt * 1e3, 2),
-                        "loss": round(float(metrics["loss"]), 4),
+                        "loss": round(loss, 4),
                     },
                 }
             )
@@ -343,6 +353,56 @@ def main():
     floor_ms = (
         conv_gather_rows / gather_rows_per_s + conv_tflops / probe_tfs
     ) * 1e3
+
+    # ---- train-step + batch=2 companions (VERDICT r3 #3): same JSON line,
+    # guarded so a failure in either cannot sink the headline metric ------
+    def _batch2_metrics():
+        arrays2, cap2 = _build_inputs(2)
+        c2 = jnp.asarray(arrays2["point_coords"])
+        f2 = jnp.asarray(arrays2["point_feats"])
+        n2 = jnp.asarray(arrays2["num_points"][0])
+        caps2 = UNetCapacities.for_points(cap2)
+        t2 = jax.jit(
+            lambda c, n: build_unet_topology(c, n, caps2, devox_pairs=False)
+        )(c2, n2)
+        caps2 = UNetCapacities.fit(
+            cap2, [int(np.asarray(lt.num)) for lt in t2.levels], margin=1.1
+        )
+        p2 = jax.jit(
+            lambda c, f, n: model.init(
+                {"params": jax.random.PRNGKey(0)},
+                PointSet(coords=c, feats=f, num=n),
+                build_unet_topology(c, n, caps2),
+                False,
+            )
+        )(c2, f2, n2)
+        fwd2 = jax.jit(
+            lambda p, c, f, n: model.apply(
+                p,
+                PointSet(coords=c, feats=f, num=n),
+                build_unet_topology(c, n, caps2, devox_pairs=False),
+                False,
+            )
+        )
+        dt2 = _time(fwd2, p2, c2, f2, n2, n=N_ITER)
+        return {
+            "batch2_scans_per_sec": round(2 / dt2, 3),
+            "batch2_fused_ms": round(dt2 * 1e3, 2),
+        }
+
+    extras = {}
+    if not os.environ.get("TASEG_BENCH_FAST"):
+        try:
+            tdt, _tloss = _time_train()
+            extras["train_scans_per_sec"] = round(BATCH_SCANS / tdt, 3)
+            extras["train_step_ms"] = round(tdt * 1e3, 2)
+        except Exception as e:  # pragma: no cover — keep headline alive
+            extras["train_error"] = type(e).__name__
+        if BATCH_SCANS == 1:
+            try:
+                extras.update(_batch2_metrics())
+            except Exception as e:  # pragma: no cover
+                extras["batch2_error"] = type(e).__name__
     print(
         json.dumps(
             {
@@ -365,6 +425,7 @@ def main():
                         conv_gather_rows / 1e6 / BATCH_SCANS, 2
                     ),
                     "conv_roofline_floor_ms": round(floor_ms, 2),
+                    **extras,
                     **(
                         {"topo_detail": topo_detail} if topo_detail else {}
                     ),

@@ -219,14 +219,21 @@ def build_unet_topology(
         prev_coords, prev_num = coords_l, num_l
 
     # point->coarse-voxel corner lookups WITHOUT joins: chase the parent
-    # chain (each point's stride-2^l ancestor voxel is l gathers through
-    # the downsample inverses), then read the 8 trilinear corners out of
-    # the level's k3 rulebook — every corner is within +-s of the
-    # ancestor, incl. the floor!=trunc cases at negative coords.  Replaces
-    # two ~1M-row sort-joins (trilinear_table) per forward.
-    anc_cache = {0: inverse}
+    # chain, then read the 8 trilinear corners out of the level's k3
+    # rulebook — every corner is within +-s of the ancestor, incl. the
+    # floor!=trunc cases at negative coords.  Replaces two ~1M-row
+    # sort-joins (trilinear_table) per forward.
+    #
+    # All of it runs per LEVEL-0 VOXEL, not per point: floor(x/s) ==
+    # floor(floor(x)/s) for positive integer s, so a point's stride-s
+    # corner set depends only on its deduped integer level-0 voxel.  The
+    # chain/pattern/rulebook-select work shrinks from P rows to V0 rows
+    # (~2/3), and the per-point table is one narrow (P, 8) row-gather of
+    # the (V0, 8) result through `inverse`.
+    anc_cache = {0: jnp.arange(coords0.shape[0], dtype=jnp.int32)}
 
     def _ancestor(l: int) -> jnp.ndarray:
+        """(V0,) stride-2^l ancestor row of every level-0 voxel."""
         if l in anc_cache:
             return anc_cache[l]
         prev = _ancestor(l - 1)
@@ -237,26 +244,31 @@ def build_unet_topology(
 
     corner_cache: dict = {}
 
-    def _corner_block(l: int, s: int):
-        """(P,) ancestor rows, (P,) delta0 pattern id in [0, 8), and the
-        ancestor's (P, 27) rulebook row.  delta0 = (floor - trunc)
-        ancestor mismatch per axis, each component in {-1, 0} — so only 8
-        column patterns exist, which lets the corner lookups below be
-        STATIC column slices selected by `lax.select_n` instead of a
-        dynamic axis-1 gather (measured 2.4x on chip: 14.8 -> 6.2 ms per
-        devox stride, scratch/an_devox2.py)."""
+    def _corner_v(l: int) -> jnp.ndarray:
+        """(V0, 8) rulebook corner rows per level-0 voxel (-1 absent).
+
+        delta0 = (floor - trunc) ancestor mismatch per axis, each
+        component in {-1, 0} — so only 8 column patterns exist, which
+        lets the corner lookups be STATIC column slices selected by
+        `lax.select_n` instead of a dynamic axis-1 gather (measured 2.4x
+        on chip: 14.8 -> 6.2 ms per devox stride, scratch/an_devox2.py)."""
         if l in corner_cache:
             return corner_cache[l]
+        s = 2**l
         anc = _ancestor(l)
-        p3 = point_coords[:, :3].astype(jnp.float32)
-        pf = (jnp.floor(p3 / s) * s).astype(jnp.int32)
+        c0 = coords0[:, :3]
+        pf = (c0 // s) * s  # int floor-div: exact at negative coords
         t = levels[l].coords[jnp.clip(anc, 0), :3]
         delta0 = (pf - t) // jnp.int32(s)  # {-1, 0} per axis
         pat = (-delta0[:, 0]) * 4 + (-delta0[:, 1]) * 2 + (-delta0[:, 2])
-        pat = jnp.clip(pat, 0, 7)  # garbage rows (anc<0) masked later
-        block = levels[l].rb_k3.T[jnp.clip(anc, 0)]  # (P, 27)
-        corner_cache[l] = (anc, pat, block)
-        return corner_cache[l]
+        pat = jnp.clip(pat, 0, 7)  # garbage rows (anc<0) masked below
+        block = levels[l].rb_k3.T[jnp.clip(anc, 0)]  # (V0, 27)
+        cases = [block[:, _pattern_cols(m, 8)] for m in range(8)]
+        sel = pat[:, None] * jnp.ones((1, 8), jnp.int32)
+        cv = jax.lax.select_n(sel, *cases)
+        cv = jnp.where((anc >= 0)[:, None], cv, -1)
+        corner_cache[l] = cv
+        return cv
 
     def _pattern_cols(m: int, corners: int):
         """Rulebook columns of the first `corners` trilinear corners under
@@ -270,18 +282,9 @@ def build_unet_topology(
             for k in range(corners)
         ]
 
-    def _corner_select(l: int, s: int, corners: int) -> jnp.ndarray:
-        anc, pat, block = _corner_block(l, s)
-        cases = [
-            block[:, _pattern_cols(m, corners)] for m in range(8)
-        ]
-        sel = pat[:, None] * jnp.ones((1, corners), jnp.int32)
-        return jax.lax.select_n(sel, *cases)
-
-    def _corner_idx(l: int, s: int) -> jnp.ndarray:
-        anc, _, _ = _corner_block(l, s)
-        idx = _corner_select(l, s, 8)  # (P, 8)
-        ok = (anc >= 0) & valid
+    def _corner_idx(l: int) -> jnp.ndarray:
+        idx = _corner_v(l)[jnp.clip(inverse, 0)]  # (P, 8)
+        ok = (inverse >= 0) & valid
         return jnp.where(ok[:, None], idx, -1).T  # (8, P)
 
     devox = {}
@@ -297,7 +300,7 @@ def build_unet_topology(
         devox[s] = trilinear_table(
             point_coords, valid, levels[l].coords, levels[l].num, s, bounds,
             with_pairs=devox_pairs,
-            corner_idx=_corner_idx(l, s),
+            corner_idx=_corner_idx(l),
         )
 
     point_vox = {}
@@ -307,9 +310,8 @@ def build_unet_topology(
             continue
         l = s.bit_length() - 1
         # the containing (floor) voxel is corner j=(0,0,0)
-        anc, _, _ = _corner_block(l, s)
-        inv_s = _corner_select(l, s, 1)[:, 0]
-        inv_s = jnp.where((anc >= 0) & valid, inv_s, -1)
+        inv_s = _corner_v(l)[jnp.clip(inverse, 0), 0]
+        inv_s = jnp.where((inverse >= 0) & valid, inv_s, -1)
         point_vox[s] = (
             inv_s, build_segment_tables(inv_s, levels[l].coords.shape[0])
         )

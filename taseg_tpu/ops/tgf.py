@@ -65,6 +65,12 @@ class TgfTables:
     # per-group (dy=-1, dy=0, dy=+1) column triples into the rulebook /
     # weight arrays — static structure, not traced
     cols: tuple = struct.field(pytree_node=False, default=())
+    # group 4 (dx=dz=0) reads rulebook column 13 (the zero offset), which
+    # is the identity for any same-coordinate-set k3 table (a voxel always
+    # matches itself), so idx[4] == arange on valid rows and its gather
+    # can be skipped: the E variant applies directly.  Holds for flipped
+    # tables too (flip keeps column 13 in the center slot).
+    center_identity: bool = struct.field(pytree_node=False, default=False)
 
 
 def _group_cols(g: int, flipped: bool) -> tuple[int, int, int]:
@@ -123,7 +129,7 @@ def build_tgf_tables(
         masks.append(any_p)
     return TgfTables(
         u1=u1, d1=d1, u2=u2, idx=jnp.stack(idxs), mask=jnp.stack(masks),
-        cols=cols,
+        cols=cols, center_identity=True,
     )
 
 
@@ -180,6 +186,12 @@ def _tgf_fwd_impl(feats, weight, tab: TgfTables):
         zp = z[:, 2 * c_out :]
         zp_up = _up(zp)
         e = zc + d1 * _down(zm) + u1 * zp_up
+        if g == 4 and tab.center_identity and not merged:
+            # identity gather: the center offset always matches itself,
+            # so the E variant row IS the output row
+            c = jnp.where(tab.mask[g][:, None], e, 0)
+            out = c if out is None else out + c
+            continue
         fl = zm + u2 * zp_up
         s_g = jnp.concatenate([e, fl, zp], 0)  # (3V, C_out)
         if merged:
