@@ -28,6 +28,7 @@ from ..ops.strided_conv import (
     downsample_conv_apply,
     upsample_conv_apply,
 )
+from ..ops.f3conv import f3_conv_apply
 from ..ops.tgf import tgf_conv_apply
 
 # C_in at or below which the stride-1 27-point conv routes through the
@@ -35,6 +36,10 @@ from ..ops.tgf import tgf_conv_apply
 # v5e (the transform-side z materialization offsets the gather win above
 # that).  Read once at import; override for A/B sweeps.
 TGF_MAX_CIN = int(os.environ.get("TASEG_TGF_MAX_CIN", "64"))
+# formulation for stride-1 27-point convs ABOVE the TGF threshold:
+# "27" = per-offset gather+matmul (ops.sparse_conv), "f3" = lane-packed
+# dy-window gathers (ops.f3conv, 9V rows instead of 27V)
+WIDE_CONV = os.environ.get("TASEG_WIDE_CONV", "27")
 
 
 @struct.dataclass
@@ -140,6 +145,16 @@ class SparseConv(nn.Module):
                 return out
             if rb_bwd is None:
                 rb_bwd = flip_rulebook(rb_fwd)
+                if WIDE_CONV == "f3" and self.kernel_volume == 27:
+                    out = f3_conv_apply(feats, w, rb_fwd, rb_bwd)
+                    if self.use_bias:
+                        b = self.param(
+                            "bias",
+                            _conv_init(self.kernel_volume, fan),
+                            (self.out_channels,),
+                        )
+                        out = out + b
+                    return out
             out = sparse_conv_apply(feats, w, rb_fwd, rb_bwd)
         if self.use_bias:
             b = self.param(

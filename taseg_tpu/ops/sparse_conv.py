@@ -25,8 +25,18 @@ conv, `nn/functional/conv.py:184-192`).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# at or below this static row capacity the K per-offset gathers collapse
+# into ONE flattened (K*V)-row gather + ONE batched einsum: the coarse
+# UNet levels (V <= ~10k) spend more time in per-launch overhead than in
+# data movement (profiled 2026-08-19: L3/L4 conv work was ~13 ms across
+# ~600 events of ~10 us each), and the (K*V, C) intermediate is cheap
+# there.  0 disables.
+CONV_BATCH_MAX_V = int(os.environ.get("TASEG_CONV_BATCH_MAX_V", "16384"))
 
 
 def _gather_rows_k(feats: jnp.ndarray, rbk: jnp.ndarray) -> jnp.ndarray:
@@ -67,11 +77,34 @@ def _gather_wide(feats: jnp.ndarray, rb: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _gather_rows_flat(feats: jnp.ndarray, rb: jnp.ndarray) -> jnp.ndarray:
+    """(K, V, C) gathered rows via ONE (K*V)-row launch, -1 masked."""
+    k, v = rb.shape
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    g = jax.lax.gather(
+        feats, jnp.clip(rb.reshape(-1), 0)[:, None], dn,
+        slice_sizes=(1, feats.shape[1]),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+    g = jnp.where((rb.reshape(-1) >= 0)[:, None], g, 0)
+    return g.reshape(k, v, feats.shape[1])
+
+
 def _conv_fwd_impl(feats, weight, rb):
     import os
 
     k, c_in, c_out = weight.shape
     w = weight.astype(feats.dtype)
+    if 0 < rb.shape[1] <= CONV_BATCH_MAX_V and not os.environ.get(
+        "TASEG_NO_CONV_BATCH"
+    ):
+        g = _gather_rows_flat(feats, rb)  # (K, V, C_in)
+        out = jnp.einsum(
+            "kvi,kio->vo", g, w, preferred_element_type=jnp.float32
+        )
+        return out.astype(feats.dtype)
     if os.environ.get("TASEG_CONV_WIDE"):
         # A/B variant: one (V, K*C) concat feeding a single wide matmul.
         # Measured SLOWER than per-offset accumulation on v5e (6.53 vs
@@ -114,9 +147,31 @@ def _conv_vjp_fwd(feats, weight, rb_fwd, rb_bwd):
 
 
 def _conv_vjp_bwd(res, g):
+    import os
+
     feats, weight, rb_fwd, rb_bwd = res
     k, c_in, c_out = weight.shape
     w = weight.astype(g.dtype)
+    if (
+        0 < max(rb_fwd.shape[1], rb_bwd.shape[1]) <= CONV_BATCH_MAX_V
+        and not os.environ.get("TASEG_NO_CONV_BATCH")
+    ):
+        # batched small-level backward: one flattened gather + one einsum
+        # per gradient (same launch-overhead argument as the forward)
+        gg = _gather_rows_flat(g, rb_bwd)  # (K, V_in, C_out)
+        d_feats = jnp.einsum(
+            "kvo,kio->vi", gg, w, preferred_element_type=jnp.float32
+        )
+        in_g = _gather_rows_flat(feats, rb_fwd)  # (K, V_out, C_in)
+        d_w = jnp.einsum(
+            "kvi,vo->kio", in_g, g, preferred_element_type=jnp.float32
+        )
+        return (
+            d_feats.astype(feats.dtype),
+            d_w.astype(weight.dtype),
+            None,
+            None,
+        )
     # d_feats: conv of g through the reverse rulebook with W^T, pairing
     # rb_bwd[k] <-> W[k]; per-offset accumulation like the forward (the
     # wide-concat form loses on v5e, see _conv_fwd_impl).  d_W[k] contracts

@@ -445,3 +445,45 @@ def test_topology_devox_matches_join_tables():
     np.testing.assert_array_equal(
         np.asarray(topo.point_vox[4][0]), np.asarray(ref_inv)
     )
+
+
+def test_f3_conv_matches_reference_conv():
+    """F3 (lane-packed dy-window, 9 row gathers) vs the 27-gather conv:
+    f32 parity + gradient agreement on random grids that exercise every
+    window presence pattern incl. center-absent pairs (ops/f3conv.py)."""
+    from taseg_tpu.ops.f3conv import f3_conv_apply
+
+    for seed, n, span in ((5, 200, 12), (13, 60, 5), (29, 400, 9)):
+        rng = np.random.default_rng(seed)
+        cin, cout, cap = 8, 16, 512
+        coords, feats, ucoords, num, feats_sorted, bounds = make_grid(
+            rng, n=n, span=span, cap=cap, cin=cin
+        )
+        offs = kernel_offsets(3, stride=1)
+        w = jnp.asarray(
+            rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+        )
+        rb = build_rulebook(ucoords, num, ucoords, num, offs, bounds)
+        rbt = flip_rulebook(rb)
+        f0 = jnp.asarray(feats_sorted)
+
+        ref = sparse_conv_apply(f0, w, rb, rbt)
+        out = f3_conv_apply(f0, w, rb, rbt)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+        def loss_ref(w, f):
+            return jnp.sum(sparse_conv_apply(f, w, rb, rbt) ** 2)
+
+        def loss_f3(w, f):
+            return jnp.sum(f3_conv_apply(f, w, rb, rbt) ** 2)
+
+        gw_r, gf_r = jax.grad(loss_ref, argnums=(0, 1))(w, f0)
+        gw_f, gf_f = jax.grad(loss_f3, argnums=(0, 1))(w, f0)
+        np.testing.assert_allclose(
+            np.asarray(gf_f), np.asarray(gf_r), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-4
+        )
