@@ -326,7 +326,11 @@ def main():
     level_v = {l: int(np.asarray(lt.num)) for l, lt in enumerate(topo.levels)}
     for lvl, table, c_in, c_out in _conv_inventory(cr, planes, num_layer):
         if table == "k3":
-            per_v = 9 if c_in <= _layers.TGF_MAX_CIN else 27
+            # TGF (C_in <= threshold) and f3 (above it, when routed) both
+            # issue 9 gather rows per output voxel; the legacy 27-offset
+            # path issues 27 (f3 rows are 3x wider — same bytes, 1/3 rows)
+            wide9 = _layers.WIDE_CONV == "f3"
+            per_v = 9 if (c_in <= _layers.TGF_MAX_CIN or wide9) else 27
             conv_gather_rows += per_v * level_v[lvl]
         elif table in ("down", "up"):
             # one fine-row gather either direction (ops.strided_conv)

@@ -69,14 +69,16 @@ def make_fwd():
 VARIANTS = [
     ("base ", dict(batch=0, wide="27", tgf=64)),
     ("b16  ", dict(batch=16384, wide="27", tgf=64)),
-    ("b32  ", dict(batch=32768, wide="27", tgf=64)),
     ("f3   ", dict(batch=16384, wide="f3", tgf=64)),
+    ("b32  ", dict(batch=32768, wide="27", tgf=64)),
+    ("accbf", dict(batch=16384, wide="27", tgf=64, acc="bf16")),
     ("tgf96", dict(batch=16384, wide="27", tgf=96)),
 ]
 
 ref_out = None
 for name, knobs in VARIANTS:
     sc_mod.CONV_BATCH_MAX_V = knobs["batch"]
+    sc_mod.CONV_ACCUM = knobs.get("acc", "f32")
     layers_mod.WIDE_CONV = knobs["wide"]
     layers_mod.TGF_MAX_CIN = knobs["tgf"]
     fwd = make_fwd()

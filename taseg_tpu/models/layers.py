@@ -37,9 +37,10 @@ from ..ops.tgf import tgf_conv_apply
 # that).  Read once at import; override for A/B sweeps.
 TGF_MAX_CIN = int(os.environ.get("TASEG_TGF_MAX_CIN", "64"))
 # formulation for stride-1 27-point convs ABOVE the TGF threshold:
-# "27" = per-offset gather+matmul (ops.sparse_conv), "f3" = lane-packed
-# dy-window gathers (ops.f3conv, 9V rows instead of 27V)
-WIDE_CONV = os.environ.get("TASEG_WIDE_CONV", "27")
+# "f3" = lane-packed dy-window gathers (ops.f3conv, 9V rows instead of
+# 27V; measured 9.27 vs 8.90 scans/s whole-model on v5e, 2026-08-19),
+# "27" = per-offset gather+matmul (ops.sparse_conv)
+WIDE_CONV = os.environ.get("TASEG_WIDE_CONV", "f3")
 
 
 @struct.dataclass

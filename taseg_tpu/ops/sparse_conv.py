@@ -31,12 +31,19 @@ import jax
 import jax.numpy as jnp
 
 # at or below this static row capacity the K per-offset gathers collapse
-# into ONE flattened (K*V)-row gather + ONE batched einsum: the coarse
-# UNet levels (V <= ~10k) spend more time in per-launch overhead than in
-# data movement (profiled 2026-08-19: L3/L4 conv work was ~13 ms across
-# ~600 events of ~10 us each), and the (K*V, C) intermediate is cheap
-# there.  0 disables.
-CONV_BATCH_MAX_V = int(os.environ.get("TASEG_CONV_BATCH_MAX_V", "16384"))
+# into ONE flattened (K*V)-row gather + ONE batched einsum.  The theory
+# was per-launch overhead on the coarse UNet levels (profiled ~13 ms of
+# ~10 us events), but the whole-model A/B (scratch/an_fused_ab,
+# 2026-08-19) measured it NEUTRAL (112.7 vs 112.4 ms) — XLA already
+# overlaps the tiny launches — so the default is 0 (off); the knob stays
+# for re-measurement on other chips.
+CONV_BATCH_MAX_V = int(os.environ.get("TASEG_CONV_BATCH_MAX_V", "0"))
+# accumulation dtype of the per-offset K-term sum: f32 (default) keeps
+# the 27-term reduction exact; "bf16" halves the accumulator round-trip
+# bytes at a ~2^-8 relative-noise cost.  Measured SLOWER whole-model on
+# v5e (scratch/an_fused_ab, 2026-08-19) — the accumulator lives in
+# registers/VMEM either way, so the byte saving never materializes.
+CONV_ACCUM = os.environ.get("TASEG_CONV_ACCUM", "f32")
 
 
 def _gather_rows_k(feats: jnp.ndarray, rbk: jnp.ndarray) -> jnp.ndarray:
@@ -117,10 +124,11 @@ def _conv_fwd_impl(feats, weight, rb):
         return out.astype(feats.dtype)
     # default: per-offset gather -> matmul accumulation; no (V, K*C)
     # concat intermediate — XLA keeps the running sum in registers/VMEM
+    acc_t = jnp.bfloat16 if CONV_ACCUM == "bf16" else jnp.float32
     out = None
     for kk in range(k):
         g = _gather_rows_k(feats, rb[kk])
-        c = jnp.dot(g, w[kk], preferred_element_type=jnp.float32)
+        c = jnp.dot(g, w[kk], preferred_element_type=acc_t)
         out = c if out is None else out + c
     return out.astype(feats.dtype)
 
