@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .lovasz import lovasz_softmax
+from .util import label_lp
 
 __all__ = ["Losses", "cross_entropy", "lovasz_softmax", "wce_weights"]
 
@@ -40,7 +41,7 @@ def cross_entropy(
     n, c = logits.shape
     lp = _log_softmax(logits)
     labels_c = jnp.clip(labels, 0, c - 1)
-    nll = -jnp.take_along_axis(lp, labels_c[:, None], axis=1)[:, 0]
+    nll = -label_lp(lp, labels_c)
     if label_smoothing > 0.0:
         smooth = -jnp.mean(lp, axis=-1)
         nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
@@ -62,7 +63,7 @@ def focal_loss(
     c = logits.shape[-1]
     lp = _log_softmax(logits)
     labels_c = jnp.clip(labels, 0, c - 1)
-    logpt = jnp.take_along_axis(lp, labels_c[:, None], axis=1)[:, 0]
+    logpt = label_lp(lp, labels_c)
     # pt is detached in the reference (Variable(logpt.data.exp()))
     pt = jnp.exp(jax.lax.stop_gradient(logpt))
     loss = -((1.0 - pt) ** gamma) * logpt
@@ -321,7 +322,7 @@ def ell_loss(
     ) / c
 
     labels_c = jnp.clip(labels, 0, c - 1)
-    logpt = jnp.take_along_axis(lp, labels_c[:, None], axis=1)[:, 0]
+    logpt = label_lp(lp, labels_c)
     wl = cls_weight[labels_c] if cls_weight is not None else 1.0
     l_cross = jnp.sum(
         wl * ((-logpt) ** gamma_cross) * m

@@ -15,6 +15,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from .util import label_lp
 
 
 class EqlV2State(NamedTuple):
@@ -112,7 +113,7 @@ def group_softmax_loss(
         ) + 1
         gtarget = jnp.where(in_group, member_slot, 0)
         lp = jax.nn.log_softmax(glogits, axis=1)
-        nll = -jnp.take_along_axis(lp, gtarget[:, None], axis=1)[:, 0]
+        nll = -label_lp(lp, gtarget)
         w = m * jnp.where(in_group, 1.0, 1.0 / beta)
         total = total + jnp.sum(nll * w)
         denom = denom + jnp.sum(w)
@@ -149,9 +150,7 @@ def group_softmax_fgbg_loss(
     )
     pair = jnp.stack([bg_logit, fg_logit], axis=1)
     lp = jax.nn.log_softmax(pair, axis=1)
-    nll = -jnp.take_along_axis(
-        lp, is_fg.astype(jnp.int32)[:, None], axis=1
-    )[:, 0]
+    nll = -label_lp(lp, is_fg.astype(jnp.int32))
     fgbg = jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1e-8)
     return base + fgbg
 
@@ -193,5 +192,5 @@ def geo_loss(
     m = sv.astype(jnp.float32)
     w = w / (jnp.sum(w * m) / jnp.maximum(jnp.sum(m), 1.0))
     lp = jax.nn.log_softmax(logits[sub].astype(jnp.float32), axis=1)
-    nll = -jnp.take_along_axis(lp, sl[:, None], axis=1)[:, 0]
+    nll = -label_lp(lp, sl)
     return jnp.sum(nll * w * m) / jnp.maximum(jnp.sum(m), 1.0)

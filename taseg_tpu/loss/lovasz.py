@@ -13,6 +13,7 @@ an exact, fully static reformulation (sorts are cheap on TPU).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from .util import permute_rows
 
 
 def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
@@ -59,10 +60,14 @@ def lovasz_softmax(
     errors = jnp.abs(fg - probs.astype(jnp.float32))
     errors = errors * valid[:, None]  # invalid rows -> 0, sort to tail
 
-    # sort errors descending per class
+    # sort errors descending per class; the permutation gathers route
+    # through permute_rows so their VJP is the inverse-permutation gather
+    # instead of the scatter take_along_axis autodiffs into (TPU scatters
+    # are pathologically slow, see loss/util.py)
     order = jnp.argsort(-errors, axis=0)  # (N, C)
-    errors_sorted = jnp.take_along_axis(errors, order, axis=0).T  # (C, N)
-    fg_sorted = jnp.take_along_axis(fg, order, axis=0).T  # (C, N)
+    inv = jnp.argsort(order, axis=0)
+    errors_sorted = permute_rows(errors, order, inv).T  # (C, N)
+    fg_sorted = permute_rows(fg, order, inv).T  # (C, N)
 
     grad = _lovasz_grad(fg_sorted)
     per_class = jnp.sum(errors_sorted * grad, axis=-1)  # (C,)

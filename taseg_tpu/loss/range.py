@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .lovasz import lovasz_softmax
+from .util import label_lp
 
 # SemanticKITTI per-class pixel frequencies (dataset statistics; the same
 # constants as reference range/utils.py:344-367 ClassWeightSemikitti)
@@ -90,7 +91,7 @@ def weighted_ce_image(
     flat_labels = jnp.clip(labels.reshape(-1), 0, c - 1)
     flat_valid = valid.reshape(-1)
     lp = jax.nn.log_softmax(flat_logits, axis=-1)
-    nll = -jnp.take_along_axis(lp, flat_labels[:, None], axis=1)[:, 0]
+    nll = -label_lp(lp, flat_labels)
     w = class_weight[flat_labels] * flat_valid.astype(jnp.float32)
     pixel_losses = nll * w
     if top_k_percent >= 1.0:
