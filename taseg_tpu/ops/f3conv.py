@@ -37,8 +37,20 @@ mirrored group's triple), d_W falls back to 27 per-offset gathers
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# The gather-width probe (scratch/an_gatherwidth.py) says packed
+# (V, 3C) rows sit in the slow >128-lane gather regime (~55-64 M
+# rows/s vs ~200-238 narrow) and predicts a 1.4x win for splitting the
+# window into three narrow rows at st/st+1/st+2 — but IN-MODEL the
+# split path measures 8.40 scans/s vs packed 9.27 (scratch/
+# an_f3split.py, identical logits): the isolated-rate model does not
+# transfer once the gathers interleave with the group matmuls.  Packed
+# therefore stays the default; the split path is kept measurable.
+F3_PACKED = os.environ.get("TASEG_F3_GATHER", "packed") == "packed"
 
 from .sparse_conv import _gather_rows_k
 from .tgf import _take_rows
@@ -81,15 +93,29 @@ def _f3_fwd_impl(feats: jnp.ndarray, weight: jnp.ndarray, rb: jnp.ndarray):
     v, c = feats.shape
     w = weight.astype(feats.dtype)
     st, od = _build_plan(rb)
-    z1 = jnp.zeros((1, c), feats.dtype)
-    f_u1 = jnp.concatenate([feats[1:], z1], 0)
-    f_u2 = jnp.concatenate([feats[2:], z1, z1], 0)
-    f3 = jnp.concatenate([feats, f_u1, f_u2], 1)  # (V, 3C)
+    if not F3_PACKED:
+        # Split gather: the chip's row-gather engine runs ~200-238 M
+        # rows/s for rows <= 128 lanes but collapses ~4x beyond
+        # (scratch/an_gatherwidth.py) — at C_in > 42 the packed (V, 3C)
+        # row is in the slow regime, so fetch the dy-window as THREE
+        # narrow rows of the unshifted feats at st, st+1, st+2 (st is
+        # clipped to V-3, so all three are in bounds) in one launch.
+        f3 = None
+    else:
+        z1 = jnp.zeros((1, c), feats.dtype)
+        f_u1 = jnp.concatenate([feats[1:], z1], 0)
+        f_u2 = jnp.concatenate([feats[2:], z1, z1], 0)
+        f3 = jnp.concatenate([feats, f_u1, f_u2], 1)  # (V, 3C)
     out = None
     for g in range(9):
         km = _GROUP_KM[g]
-        rows = _take_rows(f3, st[g])  # (V, 3C)
-        w0, w1, w2 = rows[:, :c], rows[:, c : 2 * c], rows[:, 2 * c :]
+        if f3 is None:
+            idx3 = jnp.concatenate([st[g], st[g] + 1, st[g] + 2], 0)
+            rows3 = _take_rows(feats, idx3)  # (3V, C) narrow rows
+            w0, w1, w2 = rows3[:v], rows3[v : 2 * v], rows3[2 * v :]
+        else:
+            rows = _take_rows(f3, st[g])  # (V, 3C)
+            w0, w1, w2 = rows[:, :c], rows[:, c : 2 * c], rows[:, 2 * c :]
         sels = []
         for d in range(3):
             o = od[g, d]
