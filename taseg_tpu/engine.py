@@ -18,7 +18,6 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
-import orbax.checkpoint as ocp
 
 from .loss import Losses
 from .models import build_segmentor
@@ -33,6 +32,7 @@ from .parallel import (
     make_mesh,
     make_train_step,
 )
+from .utils import storage
 from .utils.common import StepTimer, create_logger
 from .utils.metrics import format_confusion, miou_from_hist, per_class_iou
 from .utils.tb import MetricsWriter
@@ -138,8 +138,18 @@ class Trainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.output_dir = Path(output_dir)
-        self.ckpt_dir = (self.output_dir / "ckpt").absolute()
-        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        # checkpoints route through the storage backend so an `s3://`
+        # CKPT_DIR works end-to-end (reference saves/prunes checkpoints on
+        # Ceph the same way, train.py:319-324 + ceph.py:52-200); local
+        # dirs keep the orbax layout
+        ckpt_root = str(cfg.get("CKPT_DIR", "") or "")
+        if storage.is_remote(ckpt_root):
+            self.ckpt_dir = ckpt_root.rstrip("/")
+        else:
+            self.ckpt_dir = (
+                Path(ckpt_root) if ckpt_root else self.output_dir / "ckpt"
+            ).absolute()
+            self.ckpt_dir.mkdir(parents=True, exist_ok=True)
 
         n_shards = train_loader.n_shards
         self.total_epochs = total_epochs or int(cfg.OPTIM.NUM_EPOCHS)
@@ -236,7 +246,7 @@ class Trainer:
         self._build_steps()
         self.start_epoch = 0
         self._capacity_overflows = 0
-        self.ckptr = ocp.PyTreeCheckpointer()
+        self.ckptr = storage.CheckpointIO()
         self.writer = MetricsWriter(self.output_dir / "metrics")
 
     # ------------- modality / model step dispatch -------------------------
@@ -370,8 +380,7 @@ class Trainer:
         # the student ckpt into `*_gt` teacher keys, minkunet_ms_kd.py:
         # 689-714) so the live state serves as the restore template
         payload = self.ckptr.restore(
-            Path(path).absolute(),
-            item={"state": jax.device_get(self.state), "epoch": 0},
+            path, item={"state": jax.device_get(self.state), "epoch": 0}
         )
         restored = payload["state"]
         self.set_teacher(restored.params, restored.batch_stats)
@@ -522,32 +531,27 @@ class Trainer:
 
     # ---------------- checkpointing (reference train.py:326-362) ---------
     def save_checkpoint(self, epoch: int, max_keep: int = 30):
-        path = self.ckpt_dir / f"checkpoint_epoch_{epoch}"
+        """Save + prune through the storage backend, so a local dir and an
+        `s3://` CKPT_DIR behave identically (reference train.py:319-324
+        torch.saves to its Petrel client and prunes remote keys)."""
+        path = f"{str(self.ckpt_dir).rstrip('/')}/checkpoint_epoch_{epoch}"
         payload = {
             "state": jax.device_get(self.state),
             "epoch": epoch,
         }
-        self.ckptr.save(path, payload, force=True)
-        kept = sorted(
-            self.ckpt_dir.glob("checkpoint_epoch_*"),
-            key=lambda p: int(p.name.rsplit("_", 1)[1]),
-        )
-        for old in kept[:-max_keep]:
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
+        self.ckptr.save(path, payload)
+        kept = self.ckptr.list_epochs(self.ckpt_dir)
+        for _, old in kept[:-max_keep]:
+            self.ckptr.remove(old)
         self.logger.info(f"saved checkpoint {path}")
 
     def resume_latest(self) -> bool:
         """Auto-resume from the newest checkpoint (train.py:232-242)."""
-        found = sorted(
-            self.ckpt_dir.glob("checkpoint_epoch_*"),
-            key=lambda p: int(p.name.rsplit("_", 1)[1]),
-        )
+        found = self.ckptr.list_epochs(self.ckpt_dir)
         if not found:
             return False
         payload = self.ckptr.restore(
-            found[-1],
+            found[-1][1],
             item={"state": jax.device_get(self.state), "epoch": 0},
         )
         restored = payload["state"]
@@ -560,7 +564,7 @@ class Trainer:
         )
         self.start_epoch = int(payload["epoch"]) + 1
         self.logger.info(
-            f"resumed from {found[-1]} (epoch {self.start_epoch - 1})"
+            f"resumed from {found[-1][1]} (epoch {self.start_epoch - 1})"
         )
         return True
 
@@ -570,18 +574,17 @@ class Trainer:
         staged recipes work: an FSA MinkUNet checkpoint loads into the
         TIAF model's `main/...` subtree (the reference remaps ckpt keys
         for the same purpose, minkunet_ms_kd.py:689-714)."""
-        payload = self.ckptr.restore(Path(path).absolute())
-        src = payload["state"]["params"] if "state" in payload else payload
+        payload = self.ckptr.restore(path)
+        src = payload["state"] if "state" in payload else payload
         stats_src = None
-        if hasattr(src, "params"):  # restored TrainState object
+        if hasattr(src, "params"):  # restored TrainState object (remote)
             stats_src = getattr(src, "batch_stats", None)
             src = src.params
         elif isinstance(src, dict) and "params" in src:
-            # converted reference checkpoint (convert_torchsparse_ckpt.py)
+            # local orbax state dict, or a converted reference checkpoint
+            # (convert_torchsparse_ckpt.py)
             stats_src = src.get("batch_stats")
             src = src["params"]
-        elif "state" in payload:
-            stats_src = payload["state"].get("batch_stats")
         new_stats = self.state.batch_stats
         if stats_src:
             new_stats = load_matching_params(

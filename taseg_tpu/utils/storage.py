@@ -45,6 +45,16 @@ class LocalBackend:
     def listdir(self, path):
         return sorted(p.name for p in Path(path).iterdir())
 
+    def remove(self, path):
+        """Remove a file or a directory tree (checkpoint pruning)."""
+        import shutil
+
+        p = Path(path)
+        if p.is_dir():
+            shutil.rmtree(p, ignore_errors=True)
+        elif p.exists():
+            p.unlink()
+
 
 class PetrelBackend(LocalBackend):
     """Ceph/S3 via petrel-oss-sdk when available; s3:// paths only."""
@@ -101,6 +111,20 @@ class PetrelBackend(LocalBackend):
         if str(path).startswith("s3://"):
             return bool(self._client.contains(str(path)))
         return super().exists(path)
+
+    def listdir(self, path):  # pragma: no cover
+        if str(path).startswith("s3://"):
+            # petrel `list` yields keys under the prefix (ceph.py exposes
+            # the same surface for its checkpoint pruning)
+            prefix = str(path).rstrip("/") + "/"
+            return sorted(self._client.list(prefix))
+        return super().listdir(path)
+
+    def remove(self, path):  # pragma: no cover
+        if str(path).startswith("s3://"):
+            self._client.delete(str(path))
+            return
+        super().remove(path)
 
 
 _LOCAL = LocalBackend()
@@ -161,3 +185,76 @@ def save_bin(path, arr: np.ndarray):
 
 def exists(path) -> bool:
     return get_backend(path).exists(path)
+
+
+def listdir(path):
+    return get_backend(path).listdir(path)
+
+
+def remove(path):
+    get_backend(path).remove(path)
+
+
+def is_remote(path) -> bool:
+    return str(path).startswith("s3://")
+
+
+class CheckpointIO:
+    """Checkpoint save/restore/list/prune over either backend.
+
+    Local directories keep the orbax PyTree layout (unchanged on-disk
+    format, so existing checkpoints and the torchsparse converter output
+    stay loadable); `s3://` paths serialize the device_get pytree to one
+    pickled object per checkpoint, the way the reference torch.saves to
+    its Petrel client (`train.py:319-324`, `ceph.py:52-200`)."""
+
+    def __init__(self):
+        self._orbax = None
+
+    @property
+    def orbax(self):
+        if self._orbax is None:
+            import orbax.checkpoint as ocp
+
+            self._orbax = ocp.PyTreeCheckpointer()
+        return self._orbax
+
+    def save(self, path, payload):
+        if is_remote(path):
+            save_bytes(path, pickle.dumps(payload))
+        else:
+            self.orbax.save(Path(path).absolute(), payload, force=True)
+
+    def restore(self, path, item=None):
+        if is_remote(path):
+            return pickle.loads(load_bytes(path))
+        if item is not None:
+            return self.orbax.restore(Path(path).absolute(), item=item)
+        return self.orbax.restore(Path(path).absolute())
+
+    def list_epochs(self, ckpt_dir):
+        """Sorted [(epoch, full_path)] of `checkpoint_epoch_*` under
+        ckpt_dir (reference auto-resume scan, train.py:232-242)."""
+        found = []
+        if is_remote(ckpt_dir):
+            names = listdir(ckpt_dir)
+        else:
+            d = Path(ckpt_dir)
+            names = (
+                [p.name for p in d.glob("checkpoint_epoch_*")]
+                if d.exists()
+                else []
+            )
+        for name in names:
+            tail = name.rstrip("/").rsplit("/", 1)[-1]
+            if not tail.startswith("checkpoint_epoch_"):
+                continue
+            try:
+                epoch = int(tail.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            found.append((epoch, f"{str(ckpt_dir).rstrip('/')}/{tail}"))
+        return sorted(found)
+
+    def remove(self, path):
+        remove(path)
