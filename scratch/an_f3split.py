@@ -56,7 +56,7 @@ def make_fwd():
 
 ref_out = None
 for name, packed in (("packed", True), ("split ", False)):
-    f3_mod.F3_PACKED = packed
+    os.environ["TASEG_F3_GATHER"] = "packed" if packed else "split"
     fwd = make_fwd()
     out = fwd(params, coords, feats, num)
     o = np.asarray(out[: int(np.asarray(num))]).astype(np.float32)

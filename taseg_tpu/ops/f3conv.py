@@ -42,18 +42,23 @@ import os
 import jax
 import jax.numpy as jnp
 
-# The gather-width probe (scratch/an_gatherwidth.py) says packed
-# (V, 3C) rows sit in the slow >128-lane gather regime (~55-64 M
-# rows/s vs ~200-238 narrow) and predicts a 1.4x win for splitting the
-# window into three narrow rows at st/st+1/st+2 — but IN-MODEL the
-# split path measures 8.40 scans/s vs packed 9.27 (scratch/
-# an_f3split.py, identical logits): the isolated-rate model does not
-# transfer once the gathers interleave with the group matmuls.  Packed
-# therefore stays the default; the split path is kept measurable.
-F3_PACKED = os.environ.get("TASEG_F3_GATHER", "packed") == "packed"
-
 from .sparse_conv import _gather_rows_k
 from .tgf import _take_rows
+
+
+def _f3_packed() -> bool:
+    """Gather mode, read at TRACE time (not import time) so setting
+    TASEG_F3_GATHER before a (re-)jit takes effect without a reimport.
+
+    The gather-width probe (scratch/an_gatherwidth.py) says packed
+    (V, 3C) rows sit in the slow >128-lane gather regime (~55-64 M
+    rows/s vs ~200-238 narrow) and predicts a 1.4x win for splitting the
+    window into three narrow rows at st/st+1/st+2 — but IN-MODEL the
+    split path measures 8.40 scans/s vs packed 9.27 (scratch/
+    an_f3split.py, identical logits): the isolated-rate model does not
+    transfer once the gathers interleave with the group matmuls.  Packed
+    therefore stays the default; the split path is kept measurable."""
+    return os.environ.get("TASEG_F3_GATHER", "packed") == "packed"
 
 # group g covers (dz, dx) = divmod(g, 3); its dy = (-1, 0, +1) rulebook
 # columns are km, km+3, km+6 with km = dz*9 + dx (kernel_offsets(3) is
@@ -93,7 +98,7 @@ def _f3_fwd_impl(feats: jnp.ndarray, weight: jnp.ndarray, rb: jnp.ndarray):
     v, c = feats.shape
     w = weight.astype(feats.dtype)
     st, od = _build_plan(rb)
-    if not F3_PACKED:
+    if not _f3_packed():
         # Split gather: the chip's row-gather engine runs ~200-238 M
         # rows/s for rows <= 128 lanes but collapses ~4x beyond
         # (scratch/an_gatherwidth.py) — at C_in > 42 the packed (V, 3C)
