@@ -125,8 +125,9 @@ def load_torchsparse():
     return sys.modules["torchsparse"]
 
 
-def load_reference_minkunet():
-    """Import the reference MinkUNet class (stubs for absent deps)."""
+def load_reference_class(module: str, cls: str):
+    """Import a reference segmentor class (stubs for absent deps), e.g.
+    ("minkunet_ms", "MinkUNetMs") or ("minkunet_ms_kd", "MinkUNetMsKd")."""
     if load_torchsparse() is None:
         return None
     if not any(isinstance(f, _StubFinder) for f in sys.meta_path):
@@ -138,6 +139,11 @@ def load_reference_minkunet():
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         mod = importlib.import_module(
-            "pcseg.model.segmentor.voxel.minkunet.minkunet"
+            f"pcseg.model.segmentor.voxel.minkunet.{module}"
         )
-    return mod.MinkUNet
+    return getattr(mod, cls)
+
+
+def load_reference_minkunet():
+    """Import the reference MinkUNet class (stubs for absent deps)."""
+    return load_reference_class("minkunet", "MinkUNet")
