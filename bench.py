@@ -52,6 +52,15 @@ def _emit(payload: dict) -> None:
     print(json.dumps(payload), flush=True)
 
 
+def _mark(label: str) -> None:
+    """Phase timestamp on stderr: locates where the wall-clock goes (the
+    tunnel charges each executable's FIRST execution a relayout cost that
+    dwarfs the steady-state, so phase count — not iteration count — sets
+    the bench's footprint)."""
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {label}",
+          file=sys.stderr, flush=True)
+
+
 def _drain(out) -> float:
     """Force completion of everything enqueued before `out`.
 
@@ -150,6 +159,7 @@ def main():
 
     # one shard holding BATCH_SCANS collated scans
     arrays, cap = _build_inputs(BATCH_SCANS)
+    _mark("inputs built")
 
     caps = UNetCapacities.for_points(cap)
     cr, planes, num_layer = 1.0, MinkUNet.planes, MinkUNet.num_layer
@@ -161,35 +171,65 @@ def main():
     feats = jnp.asarray(arrays["point_feats"])
     num = jnp.asarray(arrays["num_points"][0])
     points = PointSet(coords=coords, feats=feats, num=num)
-    # jit even this one-off build: eager dispatch through the device
-    # tunnel is pathologically slow (minutes for a topology build)
-    topo_fn = jax.jit(
-        lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
+    # calibration pass: fit level capacities to the measured occupancy
+    # (+10%), as a deployment derives them from dataset statistics
+    # (UNetCapacities.fit).  The fit result is cached on disk: on this
+    # tunnel every distinct executable's FIRST execution costs ~100-170 s
+    # regardless of compile caching, so skipping the unfitted calibration
+    # build on reruns buys more wall-clock than any iteration trimming.
+    fitcaps_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".jax_cache", "bench_fitcaps.json",
     )
+    fit_key = f"{N_POINTS}x{BATCH_SCANS}:{cap}"
     try:
-        topo = topo_fn(coords, num)
-        _drain(topo)
-    except Exception as e:  # pragma: no cover — backend-specific safety
-        # fall back to the pure-XLA join path if the Pallas join-scan
-        # kernel cannot compile/run on this backend revision
-        import sys
-
-        print(f"join kernel disabled: {type(e).__name__}", file=sys.stderr)
-        os.environ["TASEG_NO_JOIN_KERNEL"] = "1"
+        with open(fitcaps_path) as f:
+            fitted = json.load(f)
+    except (OSError, ValueError):
+        fitted = {}
+    if fit_key in fitted:
+        caps = UNetCapacities(points=cap, voxels=tuple(fitted[fit_key]))
         topo_fn = jax.jit(
             lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
         )
         topo = topo_fn(coords, num)
-    # calibration pass: fit level capacities to the measured occupancy
-    # (+10%), as a deployment derives them from dataset statistics
-    # (UNetCapacities.fit) — padding rows cost gather/sort/matmul time on
-    # every step, and the generic schedule leaves ~40% waste at level 0
-    level_nums = [int(np.asarray(lt.num)) for lt in topo.levels]
-    caps = UNetCapacities.fit(cap, level_nums, margin=1.1)
-    topo_fn = jax.jit(
-        lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
-    )
-    topo = topo_fn(coords, num)
+        _drain(topo)
+        _mark("fitted topology built (cached caps)")
+    else:
+        # jit even this one-off build: eager dispatch through the device
+        # tunnel is pathologically slow (minutes for a topology build)
+        topo_fn = jax.jit(
+            lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
+        )
+        try:
+            topo = topo_fn(coords, num)
+            _drain(topo)
+        except Exception as e:  # pragma: no cover — backend-specific safety
+            # fall back to the pure-XLA join path if the Pallas join-scan
+            # kernel cannot compile/run on this backend revision
+            print(f"join kernel disabled: {type(e).__name__}",
+                  file=sys.stderr)
+            os.environ["TASEG_NO_JOIN_KERNEL"] = "1"
+            topo_fn = jax.jit(
+                lambda c, n: build_unet_topology(c, n, caps,
+                                                 devox_pairs=False)
+            )
+            topo = topo_fn(coords, num)
+        _mark("unfitted topology built+drained")
+        level_nums = [int(np.asarray(lt.num)) for lt in topo.levels]
+        caps = UNetCapacities.fit(cap, level_nums, margin=1.1)
+        fitted[fit_key] = list(caps.voxels)
+        try:
+            os.makedirs(os.path.dirname(fitcaps_path), exist_ok=True)
+            with open(fitcaps_path, "w") as f:
+                json.dump(fitted, f)
+        except OSError:  # pragma: no cover
+            pass
+        topo_fn = jax.jit(
+            lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
+        )
+        topo = topo_fn(coords, num)
+        _mark("fitted topology built")
     params = jax.jit(
         lambda c, f, n: model.init(
             {"params": jax.random.PRNGKey(0)},
@@ -198,6 +238,7 @@ def main():
             False,
         )
     )(coords, feats, num)
+    _mark("params initialized")
 
     def _time_train():
         # training throughput: the REAL jitted SPMD train step (topology
@@ -289,6 +330,7 @@ def main():
 
     n_iter = N_ITER
     dt = _time(fwd, params, coords, feats, num, n=n_iter)
+    _mark("fused fwd timed")
     scans_per_sec = BATCH_SCANS / dt
 
     # ---- HEADLINE, printed the moment it exists (VERDICT r4 #1): if any
@@ -312,10 +354,12 @@ def main():
     t_topo = t_apply = None
     if _remaining() > 120:
         t_topo = _time(topo_fn, coords, num, n=n_iter)
+        _mark("topo stage timed")
         apply_fn = jax.jit(
             lambda p, pts, topo: model.apply(p, pts, topo, False)
         )
         t_apply = _time(apply_fn, params, points, topo, n=n_iter)
+        _mark("apply stage timed")
 
     # ---- optional topology decomposition (TASEG_BENCH_TOPO_DETAIL=1):
     # cumulative level builds + devox-table cost via the public num_levels/
@@ -383,6 +427,7 @@ def main():
             )
 
         t_g = _time(gprobe, src, g_idx, n=10)
+        _mark("gather probe timed")
         gather_rows_per_s = 1048576 / t_g
 
     conv_gather_rows = 0
@@ -414,6 +459,7 @@ def main():
             return jax.lax.scan(body, a, None, length=200)[0]
 
         t_probe = _time(probe, a, w, n=5)
+        _mark("mxu probe timed")
         probe_tfs = 200 * 2 * 2048 * 512 * 512 / t_probe / 1e12
 
     achieved_tfs = conv_tflops / t_apply if t_apply else None
@@ -432,13 +478,28 @@ def main():
         c2 = jnp.asarray(arrays2["point_coords"])
         f2 = jnp.asarray(arrays2["point_feats"])
         n2 = jnp.asarray(arrays2["num_points"][0])
-        caps2 = UNetCapacities.for_points(cap2)
-        t2 = jax.jit(
-            lambda c, n: build_unet_topology(c, n, caps2, devox_pairs=False)
-        )(c2, n2)
-        caps2 = UNetCapacities.fit(
-            cap2, [int(np.asarray(lt.num)) for lt in t2.levels], margin=1.1
-        )
+        key2 = f"{N_POINTS}x2:{cap2}"
+        if key2 in fitted:
+            # fitted-caps cache (same rationale as the headline path: a
+            # skipped calibration program saves a ~100-170 s first-exec)
+            caps2 = UNetCapacities(points=cap2, voxels=tuple(fitted[key2]))
+        else:
+            caps2 = UNetCapacities.for_points(cap2)
+            t2 = jax.jit(
+                lambda c, n: build_unet_topology(
+                    c, n, caps2, devox_pairs=False
+                )
+            )(c2, n2)
+            caps2 = UNetCapacities.fit(
+                cap2, [int(np.asarray(lt.num)) for lt in t2.levels],
+                margin=1.1,
+            )
+            fitted[key2] = list(caps2.voxels)
+            try:
+                with open(fitcaps_path, "w") as f:
+                    json.dump(fitted, f)
+            except OSError:  # pragma: no cover
+                pass
         p2 = params  # params are batch-independent; skip a second init
         fwd2 = jax.jit(
             lambda p, c, f, n: model.apply(
@@ -462,6 +523,7 @@ def main():
         if BATCH_SCANS == 1 and _remaining() > 180:
             try:
                 extras.update(_batch2_metrics())
+                _mark("batch2 timed")
                 _emit({**headline, "breakdown": {
                     **headline["breakdown"], **extras}})
             except Exception as e:  # pragma: no cover
@@ -474,6 +536,7 @@ def main():
         if _remaining() > 300:
             try:
                 tdt, _tloss = _time_train()
+                _mark("train timed")
                 extras["train_scans_per_sec"] = round(BATCH_SCANS / tdt, 3)
                 extras["train_step_ms"] = round(tdt * 1e3, 2)
             except Exception as e:  # pragma: no cover — keep headline alive
@@ -488,7 +551,7 @@ def main():
         "fused_step_ms": round(dt * 1e3, 2),
         "topology_ms": _ms(t_topo),
         "model_apply_ms": _ms(t_apply),
-        "conv_gflops_per_scan": round(conv_tflops * 1e3, 1),
+        "conv_gflops_per_scan": round(conv_tflops * 1e3 / BATCH_SCANS, 1),
         "conv_achieved_tfs": (
             round(achieved_tfs, 2) if achieved_tfs else None
         ),
