@@ -31,8 +31,15 @@ rather than carried in the topology.
 Custom VJP mirrors ops.sparse_conv: d_feats is the same F3 conv through
 the FLIPPED rulebook with per-offset-transposed weights (the window
 invariant holds for flipped books too — a flipped dy-triple is the
-mirrored group's triple), d_W falls back to 27 per-offset gathers
-(training-only cost).
+mirrored group's triple).  d_W rides the SAME 9 window gathers: the
+group's windowed rows A_g = [sel_-1 | sel_0 | sel_+1] are exactly the
+three per-offset gathered inputs side by side, so
+
+    d_W[km + 3d] = A_g[:, dC:(d+1)C]^T @ d_out
+
+— one (3C_in, C_out) contraction per group instead of 27 per-offset
+gathers (the backward conv cost drops from 9+27 to 9+9 gather rows per
+output voxel).
 """
 
 from __future__ import annotations
@@ -42,7 +49,6 @@ import os
 import jax
 import jax.numpy as jnp
 
-from .sparse_conv import _gather_rows_k
 from .tgf import _take_rows
 
 
@@ -94,10 +100,9 @@ def _build_plan(rb: jnp.ndarray):
     return jnp.stack(sts), jnp.stack(ods)
 
 
-def _f3_fwd_impl(feats: jnp.ndarray, weight: jnp.ndarray, rb: jnp.ndarray):
-    v, c = feats.shape
-    w = weight.astype(feats.dtype)
-    st, od = _build_plan(rb)
+def _f3_window(feats: jnp.ndarray):
+    """Lane-packed window source (V, 3C): row r = [f[r] | f[r+1] | f[r+2]],
+    or None in split-gather mode (see _f3_packed)."""
     if not _f3_packed():
         # Split gather: the chip's row-gather engine runs ~200-238 M
         # rows/s for rows <= 128 lanes but collapses ~4x beyond
@@ -105,35 +110,69 @@ def _f3_fwd_impl(feats: jnp.ndarray, weight: jnp.ndarray, rb: jnp.ndarray):
         # row is in the slow regime, so fetch the dy-window as THREE
         # narrow rows of the unshifted feats at st, st+1, st+2 (st is
         # clipped to V-3, so all three are in bounds) in one launch.
-        f3 = None
+        return None
+    c = feats.shape[1]
+    z1 = jnp.zeros((1, c), feats.dtype)
+    f_u1 = jnp.concatenate([feats[1:], z1], 0)
+    f_u2 = jnp.concatenate([feats[2:], z1, z1], 0)
+    return jnp.concatenate([feats, f_u1, f_u2], 1)  # (V, 3C)
+
+
+def _group_window_rows(feats, f3, st_g, od_g):
+    """One group's windowed inputs A_g = [sel_-1 | sel_0 | sel_+1]
+    (V, 3C_in): column block d equals the per-offset gather of
+    feats through rb[km + 3d] with absent rows zeroed (the window
+    invariant — present dy-neighbors occupy consecutive rows)."""
+    v, c = feats.shape
+    if f3 is None:
+        idx3 = jnp.concatenate([st_g, st_g + 1, st_g + 2], 0)
+        rows3 = _take_rows(feats, idx3)  # (3V, C) narrow rows
+        w0, w1, w2 = rows3[:v], rows3[v : 2 * v], rows3[2 * v :]
     else:
-        z1 = jnp.zeros((1, c), feats.dtype)
-        f_u1 = jnp.concatenate([feats[1:], z1], 0)
-        f_u2 = jnp.concatenate([feats[2:], z1, z1], 0)
-        f3 = jnp.concatenate([feats, f_u1, f_u2], 1)  # (V, 3C)
+        rows = _take_rows(f3, st_g)  # (V, 3C)
+        w0, w1, w2 = rows[:, :c], rows[:, c : 2 * c], rows[:, 2 * c :]
+    sels = []
+    for d in range(3):
+        o = od_g[d]
+        pick = jax.lax.select_n(
+            jnp.clip(o, 0, 2)[:, None] * jnp.ones((1, c), jnp.int32),
+            w0, w1, w2,
+        )
+        sels.append(jnp.where((o <= 2)[:, None], pick, 0))
+    return jnp.concatenate(sels, 1)  # (V, 3C_in)
+
+
+def _f3_fwd_impl(feats: jnp.ndarray, weight: jnp.ndarray, rb: jnp.ndarray):
+    w = weight.astype(feats.dtype)
+    st, od = _build_plan(rb)
+    f3 = _f3_window(feats)
     out = None
     for g in range(9):
         km = _GROUP_KM[g]
-        if f3 is None:
-            idx3 = jnp.concatenate([st[g], st[g] + 1, st[g] + 2], 0)
-            rows3 = _take_rows(feats, idx3)  # (3V, C) narrow rows
-            w0, w1, w2 = rows3[:v], rows3[v : 2 * v], rows3[2 * v :]
-        else:
-            rows = _take_rows(f3, st[g])  # (V, 3C)
-            w0, w1, w2 = rows[:, :c], rows[:, c : 2 * c], rows[:, 2 * c :]
-        sels = []
-        for d in range(3):
-            o = od[g, d]
-            pick = jax.lax.select_n(
-                jnp.clip(o, 0, 2)[:, None] * jnp.ones((1, c), jnp.int32),
-                w0, w1, w2,
-            )
-            sels.append(jnp.where((o <= 2)[:, None], pick, 0))
-        a = jnp.concatenate(sels, 1)  # (V, 3C_in)
+        a = _group_window_rows(feats, f3, st[g], od[g])
         wg = jnp.concatenate([w[km], w[km + 3], w[km + 6]], 0)
         c_g = jnp.dot(a, wg, preferred_element_type=jnp.float32)
         out = c_g if out is None else out + c_g
     return out.astype(feats.dtype)
+
+
+def f3_dw_impl(feats: jnp.ndarray, grad: jnp.ndarray, rb: jnp.ndarray):
+    """d_W (27, C_in, C_out) from the 9 window gathers: per group,
+    A_g^T @ grad is the three dy-offsets' weight gradients stacked on
+    the contraction side.  Shared by the F3 and TGF VJPs (the old path
+    was 27 per-offset gathers, 3x the backward gather rows)."""
+    c = feats.shape[1]
+    st, od = _build_plan(rb)
+    f3 = _f3_window(feats)
+    g16 = grad.astype(feats.dtype)
+    d_w = [None] * 27
+    for g in range(9):
+        km = _GROUP_KM[g]
+        a = _group_window_rows(feats, f3, st[g], od[g])
+        dwg = jnp.dot(a.T, g16, preferred_element_type=jnp.float32)
+        for d in range(3):
+            d_w[km + 3 * d] = dwg[d * c : (d + 1) * c]
+    return jnp.stack(d_w)
 
 
 @jax.custom_vjp
@@ -154,18 +193,14 @@ def _f3_vjp_fwd(feats, weight, rb_fwd, rb_bwd):
 
 def _f3_vjp_bwd(res, g):
     feats, weight, rb_fwd, rb_bwd = res
-    k = weight.shape[0]
     # d_feats: F3 conv of g through the reverse book with W[k]^T (flip(rb)
     # column k already pairs with W[k], as in ops.sparse_conv)
     w_t = jnp.transpose(weight, (0, 2, 1))
     d_feats = _f3_fwd_impl(g.astype(feats.dtype), w_t, rb_bwd)
-    d_w = []
-    for kk in range(k):
-        in_g = _gather_rows_k(feats, rb_fwd[kk])
-        d_w.append(jnp.dot(in_g.T, g, preferred_element_type=jnp.float32))
+    d_w = f3_dw_impl(feats, g, rb_fwd)
     return (
         d_feats.astype(feats.dtype),
-        jnp.stack(d_w).astype(weight.dtype),
+        d_w.astype(weight.dtype),
         None,
         None,
     )

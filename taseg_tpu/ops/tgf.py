@@ -32,8 +32,9 @@ Measured per-conv on v5e (real rulebooks): 1.4-1.8x for C_in <= 64,
 layer routes through TGF only below a channel threshold.
 
 The custom VJP mirrors ops.sparse_conv: d_feats is itself a TGF conv
-through the flipped tables (offsets[26-k] == -offsets[k]), d_W falls back
-to the 27 per-offset gathers (training-only cost).
+through the flipped tables (offsets[26-k] == -offsets[k]); d_W rides the
+9 F3 window gathers (ops.f3conv.f3_dw_impl) instead of 27 per-offset
+gathers.
 """
 
 from __future__ import annotations
@@ -227,22 +228,18 @@ def _tgf_vjp_fwd(feats, weight, tab, tab_bwd, rb_fwd):
 
 
 def _tgf_vjp_bwd(res, g):
-    from .sparse_conv import _gather_rows_k
+    from .f3conv import f3_dw_impl
 
     feats, weight, tab_bwd, rb_fwd = res
-    k, c_in, c_out = weight.shape
     # d_feats = conv of g through the reverse rulebook with W^T — itself a
     # TGF conv over the flipped tables; flip(rb)[k] already IS the reverse
     # map for offset k, so it pairs with W[k]^T directly (same pairing as
     # ops.sparse_conv._conv_vjp_bwd)
     w_bwd = jnp.transpose(weight, (0, 2, 1))
     d_feats = _tgf_fwd_impl(g.astype(feats.dtype), w_bwd, tab_bwd)
-    # d_W[k] contracts gathered inputs against g over the huge V dim
-    d_w = []
-    for kk in range(k):
-        in_g = _gather_rows_k(feats, rb_fwd[kk])
-        d_w.append(jnp.dot(in_g.T, g, preferred_element_type=jnp.float32))
-    d_w = jnp.stack(d_w)
+    # d_W via the F3 window gathers: 9 gathers instead of 27 per-offset
+    # (the windowed rows ARE the per-offset gathered inputs side by side)
+    d_w = f3_dw_impl(feats, g, rb_fwd)
     return (
         d_feats.astype(feats.dtype),
         d_w.astype(weight.dtype),
