@@ -32,10 +32,12 @@ from ..ops.f3conv import f3_conv_apply
 from ..ops.tgf import tgf_conv_apply
 
 # C_in at or below which the stride-1 27-point conv routes through the
-# TGF 9-gather path (ops.tgf); measured break-even is 64-96 channels on
-# v5e (the transform-side z materialization offsets the gather win above
-# that).  Read once at import; override for A/B sweeps.
-TGF_MAX_CIN = int(os.environ.get("TASEG_TGF_MAX_CIN", "64"))
+# TGF 9-gather path (ops.tgf).  The old default (64) was tuned while a
+# dtype-promotion bug ran the decoder in f32; with true-bf16 streams TGF
+# wins at EVERY width (whole-model 9.875 vs 9.712 scans/s for f3-wide,
+# v5e 2026-08-21), so the default routes all stride-1 k3 convs through
+# TGF.  Override for A/B sweeps.
+TGF_MAX_CIN = int(os.environ.get("TASEG_TGF_MAX_CIN", "9999"))
 # formulation for stride-1 27-point convs ABOVE the TGF threshold:
 # "f3" = lane-packed dy-window gathers (ops.f3conv, 9V rows instead of
 # 27V; measured 9.27 vs 8.90 scans/s whole-model on v5e, 2026-08-19),
@@ -58,6 +60,9 @@ class ConvPlan:
     # convs whose C_in is at or below the TGF channel threshold
     tgf: object = None
     tgf_bwd: object = None
+    # static: request int8 window gathers from the F3 path (models set
+    # this on their eval-mode plans; see ops.f3conv._f3_quant_mode)
+    quant: bool = struct.field(pytree_node=False, default=False)
 
 
 def _conv_init(kernel_volume: int, fan: int):
@@ -96,7 +101,10 @@ class SparseConv(nn.Module):
             w = self.param(
                 "kernel", _conv_init(1, fan), (c_in, self.out_channels)
             )
-            out = feats @ w
+            # cast the kernel to the activation dtype: bf16 @ f32 would
+            # silently promote the whole downstream tensor stream to f32
+            # (doubling every later gather's bytes)
+            out = feats @ w.astype(feats.dtype)
         else:
             w = self.param(
                 "kernel",
@@ -147,7 +155,7 @@ class SparseConv(nn.Module):
             if rb_bwd is None:
                 rb_bwd = flip_rulebook(rb_fwd)
                 if WIDE_CONV == "f3" and self.kernel_volume == 27:
-                    out = f3_conv_apply(feats, w, rb_fwd, rb_bwd)
+                    out = f3_conv_apply(feats, w, rb_fwd, rb_bwd, plan.quant)
                     if self.use_bias:
                         b = self.param(
                             "bias",

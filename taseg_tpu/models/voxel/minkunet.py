@@ -76,6 +76,15 @@ class MinkUNet(nn.Module):
     bn_momentum: float = 0.1
     compute_dtype: str = "float32"  # 'bfloat16' halves gather traffic (the
     # AMP analogue of reference train.py:404-416; no loss scaling needed)
+    int8_gather: bool = False  # eval-mode int8 window gathers for the wide
+    # F3 convs (bf16 compute only; exact per-channel dequant in-weights,
+    # ops/f3conv.py).  Measured a LOSS on v5e (8.52 vs 9.71 scans/s,
+    # 2026-08-21): the row-gather engine serves int8 rows no faster than
+    # bf16 (consistent with its uniformly-slow 32-bit behavior, commit
+    # 0839279), so halving row bytes buys nothing and the quantize pass
+    # costs ~11 ms.  Kept off by default; the machinery stays for gather
+    # engines that are bytes-bound (quality cost is tiny: 99.7% argmax
+    # agreement, 0.44% max logit delta on the synthetic scene).
 
     @nn.compact
     def __call__(
@@ -118,7 +127,8 @@ class MinkUNet(nn.Module):
         # backward rulebook of a same-level odd kernel is the flip (None)
         k3 = [
             ConvPlan(
-                l.rb_k3, None, tgf=l.tgf, tgf_bwd=l.tgf_bwd
+                l.rb_k3, None, tgf=l.tgf, tgf_bwd=l.tgf_bwd,
+                quant=self.int8_gather and not train,
             )
             for l in levels
         ]

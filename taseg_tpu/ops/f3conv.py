@@ -45,6 +45,7 @@ output voxel).
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +66,24 @@ def _f3_packed() -> bool:
     transfer once the gathers interleave with the group matmuls.  Packed
     therefore stays the default; the split path is kept measurable."""
     return os.environ.get("TASEG_F3_GATHER", "packed") == "packed"
+
+
+def _f3_quant_mode() -> str:
+    """TASEG_F3_QUANT (read at trace time): "auto" (default) defers to
+    the per-call `quant` argument — models request it on their eval
+    path (ConvPlan.quant); "1"/"on" forces int8 gathers for any bf16
+    call, "0"/"off" disables them everywhere (A/B knob).
+
+    Why int8: wide (V, 3C) rows are BYTES-bound on the gather engine
+    (~60 GB/s random-row ceiling, commit 0839279), so int8 halves the
+    dominant cost of the wide decoder convs.  Quantization is symmetric
+    per-channel over the level (amax/127); the exact per-channel scale is
+    folded into the group weight slices, so the only error is int8
+    rounding of the activations (<= amax/254 per element — the same
+    order as bf16's 2^-8 relative rounding).  Inference-only: the custom
+    VJP's backward ignores it (gradients use the unquantized linear
+    form), and f32 calls (parity/oracle paths) are never quantized."""
+    return os.environ.get("TASEG_F3_QUANT", "auto")
 
 # group g covers (dz, dx) = divmod(g, 3); its dy = (-1, 0, +1) rulebook
 # columns are km, km+3, km+6 with km = dz*9 + dx (kernel_offsets(3) is
@@ -142,15 +161,37 @@ def _group_window_rows(feats, f3, st_g, od_g):
     return jnp.concatenate(sels, 1)  # (V, 3C_in)
 
 
-def _f3_fwd_impl(feats: jnp.ndarray, weight: jnp.ndarray, rb: jnp.ndarray):
+def _f3_fwd_impl(
+    feats: jnp.ndarray,
+    weight: jnp.ndarray,
+    rb: jnp.ndarray,
+    quant: bool = False,
+):
     w = weight.astype(feats.dtype)
     st, od = _build_plan(rb)
-    f3 = _f3_window(feats)
+    mode = _f3_quant_mode()
+    if mode not in ("auto",):
+        quant = mode in ("1", "on")
+    quant = quant and _f3_packed() and feats.dtype == jnp.bfloat16
+    if quant:
+        f32 = feats.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(f32), axis=0)  # (C,)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        src = jnp.clip(jnp.round(f32 / scale), -127, 127).astype(jnp.int8)
+        scale3 = jnp.tile(scale, 3)[:, None]  # (3C, 1) f32
+    else:
+        src = feats
+    f3 = _f3_window(src)
     out = None
     for g in range(9):
         km = _GROUP_KM[g]
-        a = _group_window_rows(feats, f3, st[g], od[g])
+        a = _group_window_rows(src, f3, st[g], od[g])
         wg = jnp.concatenate([w[km], w[km + 3], w[km + 6]], 0)
+        if quant:
+            # exact per-channel dequant folded into the weight slice; the
+            # int8 rows upcast inside the matmul operand read
+            wg = (scale3 * wg.astype(jnp.float32)).astype(feats.dtype)
+            a = a.astype(feats.dtype)
         c_g = jnp.dot(a, wg, preferred_element_type=jnp.float32)
         out = c_g if out is None else out + c_g
     return out.astype(feats.dtype)
@@ -175,26 +216,33 @@ def f3_dw_impl(feats: jnp.ndarray, grad: jnp.ndarray, rb: jnp.ndarray):
     return jnp.stack(d_w)
 
 
-@jax.custom_vjp
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
 def f3_conv_apply(
     feats: jnp.ndarray,
     weight: jnp.ndarray,
     rb_fwd: jnp.ndarray,
     rb_bwd: jnp.ndarray,
+    quant: bool = False,
 ) -> jnp.ndarray:
     """feats (V, C_in), weight (27, C_in, C_out), rb_fwd/rb_bwd (27, V)
-    stride-1 same-coordinate-set rulebooks (rb_bwd == flip(rb_fwd))."""
-    return _f3_fwd_impl(feats, weight, rb_fwd)
+    stride-1 same-coordinate-set rulebooks (rb_bwd == flip(rb_fwd)).
+    `quant` (static) requests int8 window gathers — honored only for
+    bf16 inputs, see _f3_quant_mode."""
+    return _f3_fwd_impl(feats, weight, rb_fwd, quant)
 
 
-def _f3_vjp_fwd(feats, weight, rb_fwd, rb_bwd):
-    return _f3_fwd_impl(feats, weight, rb_fwd), (feats, weight, rb_fwd, rb_bwd)
+def _f3_vjp_fwd(feats, weight, rb_fwd, rb_bwd, quant):
+    return (
+        _f3_fwd_impl(feats, weight, rb_fwd, quant),
+        (feats, weight, rb_fwd, rb_bwd),
+    )
 
 
-def _f3_vjp_bwd(res, g):
+def _f3_vjp_bwd(quant, res, g):
     feats, weight, rb_fwd, rb_bwd = res
     # d_feats: F3 conv of g through the reverse book with W[k]^T (flip(rb)
-    # column k already pairs with W[k], as in ops.sparse_conv)
+    # column k already pairs with W[k], as in ops.sparse_conv); gradients
+    # always take the exact unquantized linear form
     w_t = jnp.transpose(weight, (0, 2, 1))
     d_feats = _f3_fwd_impl(g.astype(feats.dtype), w_t, rb_bwd)
     d_w = f3_dw_impl(feats, g, rb_fwd)

@@ -487,3 +487,35 @@ def test_f3_conv_matches_reference_conv():
         np.testing.assert_allclose(
             np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-4
         )
+
+
+def test_f3_conv_int8_quant_mode(monkeypatch):
+    """TASEG_F3_QUANT=1 gathers the packed dy-window as int8 with exact
+    per-channel dequant folded into the weights (ops/f3conv.py).  Only
+    activation int8 rounding separates it from the bf16 path: outputs
+    must agree within ~1% relative on bf16 inputs, and the knob must be
+    a no-op for f32 inputs (training/parity paths)."""
+    from taseg_tpu.ops.f3conv import f3_conv_apply
+
+    rng = np.random.default_rng(11)
+    cin, cout, cap = 16, 8, 512
+    _, _, ucoords, num, feats_sorted, bounds = make_grid(
+        rng, n=300, span=10, cap=cap, cin=cin
+    )
+    offs = kernel_offsets(3, stride=1)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+    rb = build_rulebook(ucoords, num, ucoords, num, offs, bounds)
+    rbt = flip_rulebook(rb)
+    f_bf = jnp.asarray(feats_sorted).astype(jnp.bfloat16)
+    f_32 = jnp.asarray(feats_sorted)
+
+    ref_bf = np.asarray(f3_conv_apply(f_bf, w, rb, rbt)).astype(np.float32)
+    ref_32 = np.asarray(f3_conv_apply(f_32, w, rb, rbt))
+    monkeypatch.setenv("TASEG_F3_QUANT", "1")
+    q_bf = np.asarray(f3_conv_apply(f_bf, w, rb, rbt)).astype(np.float32)
+    q_32 = np.asarray(f3_conv_apply(f_32, w, rb, rbt))
+
+    scale = np.abs(ref_bf).max() + 1e-9
+    assert np.abs(q_bf - ref_bf).max() / scale < 0.02
+    # f32 inputs bypass quantization entirely
+    np.testing.assert_array_equal(q_32, ref_32)
