@@ -216,6 +216,45 @@ def f3_dw_impl(feats: jnp.ndarray, grad: jnp.ndarray, rb: jnp.ndarray):
     return jnp.stack(d_w)
 
 
+def f3_bwd_fused(
+    feats: jnp.ndarray,
+    weight: jnp.ndarray,
+    grad: jnp.ndarray,
+    rb_bwd: jnp.ndarray,
+):
+    """(d_feats, d_W) from ONE window-gather pass over the cotangent.
+
+    The f3-form input gradient gathers A'_g = the cotangent's dy-windows
+    through the flipped book (9 gathers).  The SAME blocks give the
+    weight gradient: rb_bwd[k, i] = v  <=>  rb_fwd[k, v] = i (the flip
+    pairs column k with W[k] on both sides), so
+
+        d_W[k] = sum_v feats[rb_fwd[k, v]] (x) g[v]
+               = sum_i feats[i] (x) g[rb_bwd[k, i]]
+               = feats^T @ A'_g[:, dCo:(d+1)Co]        (k = km + 3d)
+
+    — the backward conv cost drops to the forward's 9 gather rows per
+    voxel (previously 9 for d_feats + 9 more re-gathering feats windows
+    for d_W)."""
+    g16 = grad.astype(feats.dtype)
+    w_t = jnp.transpose(weight, (0, 2, 1)).astype(feats.dtype)  # (27,Co,Ci)
+    co = weight.shape[2]
+    st, od = _build_plan(rb_bwd)
+    f3g = _f3_window(g16)
+    d_feats = None
+    d_w = [None] * 27
+    for g in range(9):
+        km = _GROUP_KM[g]
+        a = _group_window_rows(g16, f3g, st[g], od[g])  # (V, 3Co)
+        wg = jnp.concatenate([w_t[km], w_t[km + 3], w_t[km + 6]], 0)
+        c = jnp.dot(a, wg, preferred_element_type=jnp.float32)
+        d_feats = c if d_feats is None else d_feats + c
+        dwg = jnp.dot(feats.T, a, preferred_element_type=jnp.float32)
+        for d in range(3):
+            d_w[km + 3 * d] = dwg[:, d * co : (d + 1) * co]
+    return d_feats.astype(feats.dtype), jnp.stack(d_w)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def f3_conv_apply(
     feats: jnp.ndarray,
@@ -240,14 +279,11 @@ def _f3_vjp_fwd(feats, weight, rb_fwd, rb_bwd, quant):
 
 def _f3_vjp_bwd(quant, res, g):
     feats, weight, rb_fwd, rb_bwd = res
-    # d_feats: F3 conv of g through the reverse book with W[k]^T (flip(rb)
-    # column k already pairs with W[k], as in ops.sparse_conv); gradients
-    # always take the exact unquantized linear form
-    w_t = jnp.transpose(weight, (0, 2, 1))
-    d_feats = _f3_fwd_impl(g.astype(feats.dtype), w_t, rb_bwd)
-    d_w = f3_dw_impl(feats, g, rb_fwd)
+    # one fused window pass over the cotangent yields BOTH gradients;
+    # always the exact unquantized linear form
+    d_feats, d_w = f3_bwd_fused(feats, weight, g, rb_bwd)
     return (
-        d_feats.astype(feats.dtype),
+        d_feats,
         d_w.astype(weight.dtype),
         None,
         None,

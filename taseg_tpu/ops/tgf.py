@@ -31,10 +31,9 @@ Measured per-conv on v5e (real rulebooks): 1.4-1.8x for C_in <= 64,
 ~parity at 96-128 (the z materialization offsets the gather win), so the
 layer routes through TGF only below a channel threshold.
 
-The custom VJP mirrors ops.sparse_conv: d_feats is itself a TGF conv
-through the flipped tables (offsets[26-k] == -offsets[k]); d_W rides the
-9 F3 window gathers (ops.f3conv.f3_dw_impl) instead of 27 per-offset
-gathers.
+The custom VJP shares ONE F3 window pass over the cotangent between the
+input and weight gradients (ops.f3conv.f3_bwd_fused): 9 gather rows per
+voxel for the whole backward, the same as the forward.
 """
 
 from __future__ import annotations
@@ -228,20 +227,19 @@ def _tgf_vjp_fwd(feats, weight, tab, tab_bwd, rb_fwd):
 
 
 def _tgf_vjp_bwd(res, g):
-    from .f3conv import f3_dw_impl
+    from .f3conv import f3_bwd_fused
+    from .sparse_conv import flip_rulebook
 
     feats, weight, tab_bwd, rb_fwd = res
-    # d_feats = conv of g through the reverse rulebook with W^T — itself a
-    # TGF conv over the flipped tables; flip(rb)[k] already IS the reverse
-    # map for offset k, so it pairs with W[k]^T directly (same pairing as
-    # ops.sparse_conv._conv_vjp_bwd)
-    w_bwd = jnp.transpose(weight, (0, 2, 1))
-    d_feats = _tgf_fwd_impl(g.astype(feats.dtype), w_bwd, tab_bwd)
-    # d_W via the F3 window gathers: 9 gathers instead of 27 per-offset
-    # (the windowed rows ARE the per-offset gathered inputs side by side)
-    d_w = f3_dw_impl(feats, g, rb_fwd)
+    # one fused F3 window pass over the cotangent through the reverse
+    # book yields BOTH d_feats and d_W (f3conv.f3_bwd_fused): the same
+    # 9 gathered A'_g blocks serve the input gradient (A'_g @ W^T
+    # slices) and the weight gradient (feats^T @ A'_g) — 9 gather rows
+    # per voxel total, vs 9 (d_feats) + 9 (d_W re-gather) before and
+    # 9 + 27 before that
+    d_feats, d_w = f3_bwd_fused(feats, weight, g, flip_rulebook(rb_fwd))
     return (
-        d_feats.astype(feats.dtype),
+        d_feats,
         d_w.astype(weight.dtype),
         None,
         None,
