@@ -155,9 +155,11 @@ def _take_rows(s: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 # are fused into one (27V, C_out) array served by ONE gather — the
 # per-launch overhead (~1 ms) dominates at the small coarse levels.  At
 # the big levels the 27V-row materialization costs more HBM writes than
-# the 8 saved launches, so the per-group gather-accumulate wins there
-# (measured: merged-everywhere regressed apply 88.7 -> 168.7 ms).
-TGF_MERGE_MAX_V = int(os.environ.get("TASEG_TGF_MERGE_MAX_V", "16384"))
+# the 8 saved launches, so the per-group gather-accumulate wins there.
+# Whole-model threshold sweep on v5e with TGF routing at every width
+# (2026-08-21): 0 -> 9.75, 4096 -> 10.05, 16384 -> 9.88, 65536 -> 5.71
+# scans/s — merge only the two coarsest levels (L3/L4).
+TGF_MERGE_MAX_V = int(os.environ.get("TASEG_TGF_MERGE_MAX_V", "4096"))
 
 
 def _tgf_fwd_impl(feats, weight, tab: TgfTables):
