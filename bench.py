@@ -190,7 +190,8 @@ def main():
     if fit_key in fitted:
         caps = UNetCapacities(points=cap, voxels=tuple(fitted[fit_key]))
         topo_fn = jax.jit(
-            lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
+            lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False,
+                                             assume_sorted_points=True)
         )
         topo = topo_fn(coords, num)
         _drain(topo)
@@ -199,7 +200,8 @@ def main():
         # jit even this one-off build: eager dispatch through the device
         # tunnel is pathologically slow (minutes for a topology build)
         topo_fn = jax.jit(
-            lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
+            lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False,
+                                             assume_sorted_points=True)
         )
         try:
             topo = topo_fn(coords, num)
@@ -226,7 +228,8 @@ def main():
         except OSError:  # pragma: no cover
             pass
         topo_fn = jax.jit(
-            lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False)
+            lambda c, n: build_unet_topology(c, n, caps, devox_pairs=False,
+                                             assume_sorted_points=True)
         )
         topo = topo_fn(coords, num)
         _mark("fitted topology built")
@@ -234,7 +237,7 @@ def main():
         lambda c, f, n: model.init(
             {"params": jax.random.PRNGKey(0)},
             PointSet(coords=c, feats=f, num=n),
-            build_unet_topology(c, n, caps),
+            build_unet_topology(c, n, caps, assume_sorted_points=True),
             False,
         )
     )(coords, feats, num)
@@ -325,7 +328,8 @@ def main():
         pts = PointSet(coords=coords, feats=feats, num=num)
         # inference: skip devox backward pair tables (eval never
         # differentiates through interpolation)
-        topo = build_unet_topology(coords, num, caps, devox_pairs=False)
+        topo = build_unet_topology(coords, num, caps, devox_pairs=False,
+                                   assume_sorted_points=True)
         return model.apply(params, pts, topo, False)
 
     n_iter = N_ITER
@@ -505,7 +509,8 @@ def main():
             lambda p, c, f, n: model.apply(
                 p,
                 PointSet(coords=c, feats=f, num=n),
-                build_unet_topology(c, n, caps2, devox_pairs=False),
+                build_unet_topology(c, n, caps2, devox_pairs=False,
+                                    assume_sorted_points=True),
                 False,
             )
         )

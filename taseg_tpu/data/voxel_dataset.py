@@ -38,6 +38,11 @@ class VoxelSample:
 class VoxelPipeline:
     """Stateless per-scan transform: reader dict -> VoxelSample."""
 
+    # samples come out key-sorted (z, x, y) per scan, so shards collated
+    # from this pipeline can run the level-0 unique's assume_sorted fast
+    # path (engine passes assume_sorted_points to build_unet_topology)
+    sorted_points = True
+
     def __init__(
         self,
         voxel_size: float = 0.05,
@@ -74,11 +79,22 @@ class VoxelPipeline:
         _, index, inverse = sparse_quantize(
             vox, return_index=True, return_inverse=True
         )
+        # emit the deduped rows in (z, x, y) lexicographic order — the
+        # device key order (ops/coords.py pack_keys: batch-major, then
+        # z, x, y).  Shards collated scan-by-scan are then globally
+        # key-sorted, and the level-0 unique runs its assume_sorted fast
+        # path (ops/join.py), skipping the big main sort + inverse
+        # back-sort on device.  `inverse_map` is composed with the sort
+        # so raw-point mapping is unchanged.
+        cd = vox[index]
+        order = np.lexsort((cd[:, 1], cd[:, 0], cd[:, 2])).astype(np.int32)
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order), dtype=np.int32)
         return VoxelSample(
-            coords=vox[index],
-            feats=pts[index],
-            labels=labels[index],
-            inverse_map=inverse.astype(np.int32),
+            coords=cd[order],
+            feats=pts[index][order],
+            labels=labels[index][order],
+            inverse_map=rank[inverse].astype(np.int32),
             raw_labels=labels,
             num_raw_points=len(pts),
             name=sample.get("path", ""),

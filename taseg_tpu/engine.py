@@ -220,6 +220,12 @@ class Trainer:
             if cfg.MODEL["NAME"] in ("SPVCNN", "RPVNet")
             else {}
         )
+        # host pipelines that emit key-sorted scans (VoxelPipeline and
+        # subclasses) let the level-0 unique skip its device-side sort
+        if getattr(
+            getattr(train_loader, "pipeline", None), "sorted_points", False
+        ):
+            self.topo_kwargs["assume_sorted_points"] = True
         if self.kind == "tiaf":
             self.fov_caps = UNetCapacities.for_points(
                 train_loader.fov_capacity or train_loader.point_capacity

@@ -149,6 +149,7 @@ def build_unet_topology(
     integral_points: bool = True,
     point_voxel_strides: tuple[int, ...] = (),
     devox_pairs: bool = True,
+    assume_sorted_points: bool = False,
 ) -> UNetTopology:
     """Build the full MinkUNet topology from float point coords (P, 4).
 
@@ -168,8 +169,12 @@ def build_unet_topology(
     )
     bounds = compute_bounds(vox0, valid, margin=64)
 
+    # assume_sorted_points: the host pipeline pre-sorted every scan by
+    # the device key order (VoxelPipeline.sorted_points), so the level-0
+    # unique skips its main sort + inverse back-sort (ops/join.py)
     coords0, num0, inverse, _counts = unique_coords(
-        vox0, valid, bounds, caps.voxels[0]
+        vox0, valid, bounds, caps.voxels[0],
+        assume_sorted=assume_sorted_points,
     )
     point_tables = build_segment_tables(inverse, caps.voxels[0])
 
@@ -282,12 +287,27 @@ def build_unet_topology(
             for k in range(corners)
         ]
 
-    def _corner_idx(l: int) -> jnp.ndarray:
-        idx = _corner_v(l)[jnp.clip(inverse, 0)]  # (P, 8)
-        ok = (inverse >= 0) & valid
-        return jnp.where(ok[:, None], idx, -1).T  # (8, P)
-
     devox = {}
+    corner_strides = [
+        s for s in devox_strides if not (s == 1 and integral_points)
+    ]
+    corner_idx_by_stride = {}
+    if corner_strides:
+        # ONE (P,)-row gather for every devox stride's corner rows: the
+        # per-stride (V0, 8) tables are concatenated along columns and
+        # pulled through `inverse` together (one launch instead of one
+        # per stride; chip-measured ~0.4 ms off the topology stage —
+        # int32 gathers stay bytes-bound at this width, so the win is
+        # the launch, not the rows).
+        cat = jnp.concatenate(
+            [_corner_v(s.bit_length() - 1) for s in corner_strides], axis=1
+        )
+        g = cat[jnp.clip(inverse, 0)]  # (P, 8*K)
+        ok = (inverse >= 0) & valid
+        g = jnp.where(ok[:, None], g, -1)
+        for i, s in enumerate(corner_strides):
+            corner_idx_by_stride[s] = g[:, 8 * i : 8 * (i + 1)].T  # (8, P)
+
     for s in devox_strides:
         if s == 1 and integral_points:
             # host-deduped integer points: trilinear at stride 1 collapses
@@ -300,7 +320,7 @@ def build_unet_topology(
         devox[s] = trilinear_table(
             point_coords, valid, levels[l].coords, levels[l].num, s, bounds,
             with_pairs=devox_pairs,
-            corner_idx=_corner_idx(l),
+            corner_idx=corner_idx_by_stride[s],
         )
 
     point_vox = {}

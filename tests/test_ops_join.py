@@ -274,3 +274,57 @@ def test_unique_coords_assume_sorted_matches_general():
         np.testing.assert_array_equal(
             np.asarray(x), np.asarray(y), err_msg=name
         )
+
+
+def test_voxel_pipeline_shard_is_key_sorted():
+    """VoxelPipeline emits each scan key-sorted (z, x, y) and composes
+    inverse_map with the sort; a collate_shard of such scans is globally
+    key-sorted, so build_unet_topology(assume_sorted_points=True) — the
+    engine's fast path for sorted host pipelines — must agree with the
+    general path end to end (data/voxel_dataset.py, engine.py)."""
+    from taseg_tpu.data.synthetic import synthetic_scan
+    from taseg_tpu.data.voxel_dataset import VoxelPipeline, collate_shard
+
+    pipe = VoxelPipeline(voxel_size=0.2, training=False)
+    rng = np.random.default_rng(3)
+    samples = []
+    for _ in range(2):
+        pts, labels = synthetic_scan(rng, 3000)
+        ring = np.zeros((len(pts), 1), np.float32)
+        s = pipe({"xyzret": np.concatenate([pts, ring], 1), "labels": labels})
+        # per-scan (z, x, y) lex order
+        key = (
+            s.coords[:, 2].astype(np.int64) * 2**40
+            + s.coords[:, 0].astype(np.int64) * 2**20
+            + s.coords[:, 1]
+        )
+        assert (np.diff(key) > 0).all()
+        # inverse_map still maps raw points onto their voxel rows
+        np.testing.assert_array_equal(
+            s.coords[s.inverse_map],
+            np.round(
+                np.concatenate([pts, ring], 1)[:, :3] / 0.2
+            ).astype(np.int32)
+            - np.round(pts[:, :3] / 0.2).astype(np.int32).min(0),
+        )
+        samples.append(s)
+
+    arrays = collate_shard(samples, 8192)
+    coords = jnp.asarray(arrays["point_coords"])
+    num = jnp.asarray(arrays["num_points"][0])
+
+    from taseg_tpu.models import UNetCapacities
+    from taseg_tpu.models.voxel.backbone_context import build_unet_topology
+
+    caps = UNetCapacities.for_points(8192)
+    ref = build_unet_topology(coords, num, caps)
+    fast = build_unet_topology(coords, num, caps, assume_sorted_points=True)
+    np.testing.assert_array_equal(
+        np.asarray(ref.levels[0].coords), np.asarray(fast.levels[0].coords)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.point_inverse), np.asarray(fast.point_inverse)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.levels[0].rb_k3), np.asarray(fast.levels[0].rb_k3)
+    )
