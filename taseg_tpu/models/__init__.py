@@ -87,6 +87,11 @@ def build_segmentor(model_cfgs, num_class: int):
             dropout_p=model_cfgs.get("DROPOUT_P", 0.3),
             axis_name="data" if model_cfgs.get("IF_DIST", False) else None,
             compute_dtype=model_cfgs.get("COMPUTE_DTYPE", "float32"),
+            # torch-convention running-stat momentum (0.1 default); tiny
+            # synthetic epochs (32 its) need a smaller value or the eval
+            # stats never settle (they track the last ~7 augmented
+            # batches and val mIoU swings 27-76 across epochs)
+            bn_momentum=model_cfgs.get("BN_MOMENTUM", 0.1),
             **(
                 {"multi_scale": model_cfgs.get("MULTI_SCALE", "concat")}
                 if name == "SPVCNN" else {}
