@@ -90,8 +90,13 @@ def build_segmentor(model_cfgs, num_class: int):
             # torch-convention running-stat momentum (0.1 default); tiny
             # synthetic epochs (32 its) need a smaller value or the eval
             # stats never settle (they track the last ~7 augmented
-            # batches and val mIoU swings 27-76 across epochs)
-            bn_momentum=model_cfgs.get("BN_MOMENTUM", 0.1),
+            # batches and val mIoU swings 27-76 across epochs).  Only
+            # passed to modules exposing the field (RPVNet hardwires it).
+            **(
+                {"bn_momentum": model_cfgs.get("BN_MOMENTUM", 0.1)}
+                if "bn_momentum" in getattr(cls, "__dataclass_fields__", {})
+                else {}
+            ),
             **(
                 {"multi_scale": model_cfgs.get("MULTI_SCALE", "concat")}
                 if name == "SPVCNN" else {}
